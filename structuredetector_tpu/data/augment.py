@@ -1,0 +1,245 @@
+"""Host-side image + annotation transforms.
+
+Pipeline parity with the reference (`/root/reference/src/sdnet/data/transforms.py`):
+
+- `TrainAugmentation` = Resize -> ColorJitter -> HFlip -> VFlip ->
+  Normalize -> Flatten (`transforms.py:216-235`; `Encode` becomes the
+  host-side `flatten_annotation` + on-device rendering),
+- multi-scale training: `trigger_random_resize()` re-rolls the resize
+  target each epoch over ratios {0.75 ... 1.25} snapped to x32
+  (`transforms.py:212`, `:237-244`) — each ratio is a static shape
+  bucket with its own cached XLA compilation,
+- `ValidationAugmentation` = Resize -> Normalize -> Flatten
+  (`transforms.py:253-267`),
+- `PredictionTransformation` = Resize -> Normalize only
+  (`transforms.py:270-286`).
+
+Deliberate divergence (documented per SURVEY.md §7 "behavioral quirks"):
+the reference draws its flip trigger from a *normal* distribution
+(`torch.randn(1) < prob`, transforms.py:14,28), so prob=0.5 flips ~69% of
+the time. Here the draw is uniform, so `prob` means probability. Pass
+`legacy_flip=True` to reproduce the reference's behavior exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+from ..annotations import ImageAnnotation, hflip_annotation, vflip_annotation
+from .pipeline import flatten_annotation
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+MULTISCALE_RATIOS = (0.75, 0.8125, 0.875, 0.9375, 1, 1.0625, 1.125, 1.1875, 1.25)
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = list(transforms)
+
+    def __call__(self, *inputs):
+        for t in self.transforms:
+            inputs = t(*inputs)
+        return inputs
+
+    def __repr__(self):
+        return f"Compose(transforms: {self.transforms})"
+
+
+class Resize:
+    """Resize image and annotation to (width, height)."""
+
+    def __init__(self, size):
+        if isinstance(size, int):
+            self.width, self.height = size, size
+        else:
+            self.width, self.height = size
+
+    def __call__(self, image: Image.Image, target: ImageAnnotation):
+        resized = image.resize((self.width, self.height), Image.BILINEAR)
+        annotation = target.resized(image.size, (self.width, self.height))
+        return resized, annotation
+
+    def __repr__(self):
+        return f"Resize(width: {self.width}, height: {self.height})"
+
+
+class RandomHorizontalFlip:
+    def __init__(self, prob=0.5, rng: Optional[np.random.Generator] = None,
+                 legacy_flip: bool = False):
+        self.prob = prob
+        self.rng = rng or np.random.default_rng()
+        self.legacy_flip = legacy_flip
+
+    def _trigger(self) -> bool:
+        if self.legacy_flip:  # reference transforms.py:14
+            return self.rng.standard_normal() < self.prob
+        return self.rng.random() < self.prob
+
+    def __call__(self, image: Image.Image, target: ImageAnnotation):
+        if self._trigger():
+            return (
+                image.transpose(Image.FLIP_LEFT_RIGHT),
+                hflip_annotation(target, image.size),
+            )
+        return image, target
+
+
+class RandomVerticalFlip(RandomHorizontalFlip):
+    def __call__(self, image: Image.Image, target: ImageAnnotation):
+        if self._trigger():
+            return (
+                image.transpose(Image.FLIP_TOP_BOTTOM),
+                vflip_annotation(target, image.size),
+            )
+        return image, target
+
+
+class RandomColorJitter:
+    """Brightness/contrast/saturation/hue jitter with torchvision-style
+    factor ranges and random application order (transforms.py:37-47)."""
+
+    def __init__(self, brightness=0.25, contrast=0.25, saturation=0.15, hue=0.05,
+                 rng: Optional[np.random.Generator] = None):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, image: Image.Image, target: ImageAnnotation):
+        rng = self.rng
+        ops = []
+        if self.brightness > 0:
+            f = rng.uniform(max(0.0, 1 - self.brightness), 1 + self.brightness)
+            ops.append(lambda im, f=f: ImageEnhance.Brightness(im).enhance(f))
+        if self.contrast > 0:
+            f = rng.uniform(max(0.0, 1 - self.contrast), 1 + self.contrast)
+            ops.append(lambda im, f=f: ImageEnhance.Contrast(im).enhance(f))
+        if self.saturation > 0:
+            f = rng.uniform(max(0.0, 1 - self.saturation), 1 + self.saturation)
+            ops.append(lambda im, f=f: ImageEnhance.Color(im).enhance(f))
+        if self.hue > 0:
+            shift = rng.uniform(-self.hue, self.hue)
+            ops.append(lambda im, s=shift: _hue_shift(im, s))
+        rng.shuffle(ops)
+        for op in ops:
+            image = op(image)
+        return image, target
+
+
+def _hue_shift(image: Image.Image, shift: float) -> Image.Image:
+    """Rotate hue by `shift` (fraction of the full hue circle)."""
+    hsv = np.array(image.convert("HSV"), np.uint8)
+    hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(shift * 255)) % 256
+    return Image.fromarray(hsv, "HSV").convert("RGB")
+
+
+class Normalize:
+    """PIL -> float32 HWC in [0,1], ImageNet mean/std normalized
+    (transforms.py:109-118). NHWC for TPU."""
+
+    def __init__(self, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, image, target=None):
+        arr = np.asarray(image, np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        arr = (arr - self.mean) / self.std
+        if target is None:
+            return arr
+        return arr, target
+
+
+class Flatten:
+    """Terminal transform: annotation -> padded keypoint arrays
+    (device-side rendering replaces the reference `Encode`)."""
+
+    def __init__(self, config):
+        self.config = config
+
+    def __call__(self, image: np.ndarray, target: ImageAnnotation):
+        in_h, in_w = image.shape[:2]
+        out_w = int(in_w / self.config.down_ratio)
+        out_h = int(in_h / self.config.down_ratio)
+        kp = flatten_annotation(
+            target,
+            labels=self.config.labels,
+            parts=self.config.parts,
+            max_objects=self.config.max_objects,
+            max_parts=self.config.max_parts,
+            in_size=(in_w, in_h),
+            out_size=(out_w, out_h),
+        )
+        return {"image": image, "keypoints": kp, "annotation": target}
+
+
+class TrainAugmentation:
+    ratios = MULTISCALE_RATIOS  # transforms.py:212
+
+    def __init__(self, config, rng: Optional[np.random.Generator] = None,
+                 legacy_flip: bool = False):
+        self.config = config
+        self.rng = rng or np.random.default_rng(config.seed)
+        if config.no_augmentation:
+            transforms = [
+                Resize((config.width, config.height)),
+                Normalize(),
+                Flatten(config),
+            ]
+        else:
+            transforms = [
+                Resize((config.width, config.height)),
+                RandomColorJitter(rng=self.rng),
+                RandomHorizontalFlip(rng=self.rng, legacy_flip=legacy_flip),
+                RandomVerticalFlip(rng=self.rng, legacy_flip=legacy_flip),
+                Normalize(),
+                Flatten(config),
+            ]
+        self.transform = Compose(transforms)
+
+    @property
+    def current_size(self) -> Tuple[int, int]:
+        r = self.transform.transforms[0]
+        return (r.width, r.height)
+
+    def trigger_random_resize(self):
+        """Re-roll the input resolution for the next epoch
+        (transforms.py:237-244); sizes snap to multiples of 32."""
+        if self.config.no_augmentation:
+            return
+        ratio = self.ratios[int(self.rng.integers(len(self.ratios)))]
+        width = int(ratio * self.config.width / 32) * 32
+        height = int(ratio * self.config.height / 32) * 32
+        self.transform.transforms[0] = Resize((width, height))
+
+    def __call__(self, image, target):
+        return self.transform(image, target)
+
+
+class ValidationAugmentation:
+    def __init__(self, config):
+        self.transform = Compose(
+            [Resize((config.width, config.height)), Normalize(), Flatten(config)]
+        )
+
+    def __call__(self, image, target):
+        return self.transform(image, target)
+
+
+class PredictionTransformation:
+    """Image-only path for `detect` (transforms.py:270-286)."""
+
+    def __init__(self, config):
+        self.resize = Resize((config.width, config.height))
+        self.normalize = Normalize()
+
+    def __call__(self, image: Image.Image) -> np.ndarray:
+        resized = image.resize((self.resize.width, self.resize.height), Image.BILINEAR)
+        return self.normalize(resized)

@@ -1,0 +1,140 @@
+"""Datasets over directories of JSON-annotated images.
+
+Mirrors `/root/reference/src/sdnet/data/dataset.py`:
+- `CropDataset` over one or more directories of `.json` annotation files
+  (sorted), images opened with PIL, true `img_size` stamped
+  (`dataset.py:13-49`),
+- `localize_image_names()` rewrites annotation JSONs on disk so
+  `image_path` points next to the JSON (`dataset.py:51-55`) — the
+  trainer calls this like the reference does (trainer.py:61,77),
+- `PredictionDataset` over unlabeled `.jpg` files (`dataset.py:168-184`),
+- `LabelStats`/`DatasetStats` summaries (`dataset.py:187-237`).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from pathlib import Path
+from typing import List, Optional
+
+from PIL import Image
+
+from ..annotations import ImageAnnotation, files_with_extension
+from .augment import Compose
+
+
+class CropDataset:
+    def __init__(self, config, directories, transform=None):
+        self.config = config
+        if isinstance(transform, list):
+            self.transform = Compose(transform)
+        else:
+            self.transform = transform
+
+        if isinstance(directories, (str, Path)):
+            self.files = files_with_extension(directories, ".json")
+        elif isinstance(directories, list):
+            self.files = [
+                f for d in directories for f in files_with_extension(d, ".json")
+            ]
+        else:
+            raise ValueError(
+                "'directories' should be either a unique directory or a list of directories."
+            )
+        self.files = sorted(self.files)
+
+    def __len__(self):
+        return len(self.files)
+
+    def __getitem__(self, index):
+        annotation = ImageAnnotation.from_json(self.files[index], self.config.anchor_name)
+        image = Image.open(annotation.image_path)
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+        annotation.img_size = image.size
+        if self.transform is not None:
+            return self.transform(image, annotation)
+        return image, annotation
+
+    def localize_image_names(self):
+        """Rewrite each annotation's image_path to sit next to its JSON
+        (reference dataset.py:51-55; note: writes to the dataset dir)."""
+        for file in self.files:
+            annotation = ImageAnnotation.from_json(file, self.config.anchor_name)
+            annotation.image_path = file.parent / annotation.image_name
+            annotation.save_json(file.parent)
+
+    def stats(self) -> "DatasetStats":
+        s = DatasetStats()
+        for file in self.files:
+            annotation = ImageAnnotation.from_json(file, self.config.anchor_name)
+            s.update(annotation.objects)
+        return s
+
+    def __repr__(self):
+        return f"Images: {len(self)}\n{self.stats()}"
+
+
+class PredictionDataset:
+    def __init__(self, directory, transform=None,
+                 extensions=(".jpg", ".jpeg", ".png")):
+        self.images: List[Path] = sorted(
+            f
+            for ext in extensions
+            for f in files_with_extension(directory, ext)
+        )
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, index):
+        path = self.images[index]
+        img = Image.open(path)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        w, h = img.size
+        out = self.transform(img) if self.transform is not None else img
+        return {"img": out, "img_size": (w, h), "path": path}
+
+
+class LabelStats:
+    def __init__(self):
+        self.count = 0
+        self.parts = defaultdict(int)
+
+    def __len__(self):
+        return len(self.parts)
+
+    def update(self, obj):
+        self.count += 1
+        for kp in obj.parts:
+            self.parts[kp.kind] += 1
+
+    def __repr__(self):
+        parts = ", ".join(f"'{n}': {c}" for n, c in self.parts.items())
+        return f"  count: {self.count}\n  part count: {{{parts}}}\n"
+
+
+class DatasetStats:
+    def __init__(self):
+        self.stats = defaultdict(LabelStats)
+
+    def __getitem__(self, label):
+        return self.stats[label]
+
+    def __len__(self):
+        return len(self.stats)
+
+    def items(self):
+        return self.stats.items()
+
+    def update(self, objects):
+        if isinstance(objects, list):
+            for obj in objects:
+                self.stats[obj.name].update(obj)
+        else:
+            self.stats[objects.name].update(objects)
+
+    def __repr__(self):
+        return "".join(f"label: {label}\n{stats}" for label, stats in self.items())

@@ -1,0 +1,183 @@
+"""Host <-> device bridge: annotations -> fixed-shape padded arrays.
+
+The reference renders full dense targets per sample on CPU workers
+(`/root/reference/src/sdnet/data/transforms.py:121-208`). Here the host
+only *flattens* each annotation into tiny padded keypoint arrays; the
+dense Gaussian rendering happens on-device (`ops.encode.encode_targets`)
+inside the jitted train step. This removes the reference's #1 input
+pipeline bottleneck (SURVEY.md §3.1 hot loops).
+
+Selection semantics are preserved exactly (`transforms.py:157-191`):
+- objects beyond `max_objects` are dropped entirely,
+- parts fill a single *global* `max_parts` budget in object order and the
+  budget can truncate an object's parts mid-iteration,
+- coordinates are clipped to the input bounds, then scaled into the
+  output grid (x * out_w / in_w).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterable, List, NamedTuple, Optional, Sequence
+
+import numpy as np
+
+from ..annotations import ImageAnnotation, clip_annotation
+
+
+class FlatKeypoints(NamedTuple):
+    """Per-sample padded keypoint arrays (grid coordinates)."""
+
+    anchors_xy: np.ndarray  # (O, 2) float32
+    anchor_cls: np.ndarray  # (O,) int32
+    anchor_mask: np.ndarray  # (O,) bool
+    parts_xy: np.ndarray  # (P, 2) float32
+    part_kind: np.ndarray  # (P,) int32
+    part_owner_xy: np.ndarray  # (P, 2) float32
+    part_mask: np.ndarray  # (P,) bool
+
+
+def flatten_annotation(
+    annotation: ImageAnnotation,
+    *,
+    labels: Dict[str, int],
+    parts: Dict[str, int],
+    max_objects: int,
+    max_parts: int,
+    in_size,
+    out_size,
+) -> FlatKeypoints:
+    """Flatten one clipped annotation into padded grid-space arrays.
+
+    `annotation` must already be in input-image space (post-resize). It is
+    clipped in place like the reference (`transforms.py:154`).
+    """
+    in_w, in_h = in_size
+    out_w, out_h = out_size
+    sx, sy = out_w / in_w, out_h / in_h
+
+    clip_annotation(annotation, (in_w, in_h))
+
+    o, p = max_objects, max_parts
+    anchors_xy = np.zeros((o, 2), np.float32)
+    anchor_cls = np.zeros((o,), np.int32)
+    anchor_mask = np.zeros((o,), bool)
+    parts_xy = np.zeros((p, 2), np.float32)
+    part_kind = np.zeros((p,), np.int32)
+    part_owner_xy = np.zeros((p, 2), np.float32)
+    part_mask = np.zeros((p,), bool)
+
+    kp_idx = 0
+    done = False
+    for obj_idx, obj in enumerate(annotation.objects[:max_objects]):
+        gx, gy = obj.x * sx, obj.y * sy
+        anchors_xy[obj_idx] = (gx, gy)
+        anchor_cls[obj_idx] = labels[obj.name]
+        anchor_mask[obj_idx] = True
+
+        for kp in obj.parts:
+            parts_xy[kp_idx] = (kp.x * sx, kp.y * sy)
+            part_kind[kp_idx] = parts[kp.kind]
+            part_owner_xy[kp_idx] = (gx, gy)
+            part_mask[kp_idx] = True
+            kp_idx += 1
+            if kp_idx == max_parts:
+                done = True
+                break
+        if done:
+            break
+
+    return FlatKeypoints(
+        anchors_xy, anchor_cls, anchor_mask, parts_xy, part_kind, part_owner_xy, part_mask
+    )
+
+
+def collate(samples: Sequence[dict]) -> dict:
+    """Stack per-sample dicts (image + FlatKeypoints + annotation) into a
+    batch dict of numpy arrays; 'annotation' stays a Python list (like
+    the reference collate_fn, dataset.py:57-87)."""
+    batch: dict = {}
+    first = samples[0]
+    for key, value in first.items():
+        if key == "annotation":
+            batch[key] = [s[key] for s in samples]
+        elif isinstance(value, FlatKeypoints):
+            batch[key] = FlatKeypoints(
+                *(np.stack([getattr(s[key], f) for s in samples]) for f in value._fields)
+            )
+        else:
+            batch[key] = np.stack([s[key] for s in samples])
+    return batch
+
+
+class Loader:
+    """Minimal batching iterator with optional background prefetch.
+
+    Replaces torch DataLoader (reference trainer.py:62-87). `dataset`
+    must be indexable; transform applied in `dataset.__getitem__`.
+    With `num_workers > 0`, sample loading runs in that many Python
+    threads (PIL decode releases the GIL) and batches are staged ahead.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 0,
+        seed: int = 0,
+        collate_fn=collate,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.collate_fn = collate_fn
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self) -> List[List[int]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        batches = [
+            list(order[i : i + self.batch_size])
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        return batches
+
+    def __iter__(self):
+        batches = self._index_batches()
+        if self.num_workers <= 0:
+            for idxs in batches:
+                yield self.collate_fn([self.dataset[i] for i in idxs])
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = object()
+
+        def producer():
+            try:
+                for idxs in batches:
+                    q.put(self.collate_fn([self.dataset[i] for i in idxs]))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+        t.join()

@@ -1,0 +1,152 @@
+"""SDNet: ResNet34 encoder + FPN decoder + 1x1 head, NHWC.
+
+Structure matches the reference `Network`
+(`/root/reference/src/sdnet/model/network.py:32-87`):
+
+- encoder: ResNet34 (stages C2..C5),
+- `up1`: 1x1 conv 512 -> fpn_depth on C5 (network.py:52),
+- `up2..up4`: FPN up-blocks — nearest x2 upsample + 1x1 lateral conv on
+  the skip + sum + 3x3 conv(bias=False)+BN+ReLU (Fpn, network.py:6-19),
+- `head`: single 1x1 conv to M+N+4 channels (network.py:22-29, :57),
+- output stride 4; the head output splits into anchor heatmaps (M),
+  part heatmaps (N), shared sub-pixel offsets (2) and grouping
+  embeddings (2) on the channel axis (network.py:77-84).
+
+No activation inside the network — sigmoid is applied by the loss and
+the decoder, keeping the exported graph raw (network.py:74-75).
+
+TPU-first: NHWC, bf16 compute / fp32 params+BN, nearest upsample as a
+cheap reshape-broadcast (no gather), all shapes static under jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .resnet import ResNet34Encoder
+
+
+def upsample2x_nearest(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor x2 upsample of (B, H, W, C) via broadcast —
+    equivalent to torch nn.Upsample(scale_factor=2) (network.py:10)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
+class FpnBlock(nn.Module):
+    """Upsample x2 + lateral 1x1 + add + 3x3 conv(bias=False)+BN+ReLU
+    (reference Fpn, network.py:6-19)."""
+
+    filters: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, skip, train: bool):
+        lateral = nn.Conv(
+            self.filters, (1, 1), use_bias=True, dtype=self.dtype, name="lateral"
+        )(skip)
+        y = upsample2x_nearest(x) + lateral
+        y = nn.Conv(
+            self.filters, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name="conv",
+        )(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn",
+        )(y)
+        return nn.relu(y)
+
+
+class SDNet(nn.Module):
+    """Anchor+parts structure detection network, output stride 4."""
+
+    n_labels: int  # M
+    n_parts: int  # N
+    fpn_depth: int = 128
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def out_channels(self) -> int:
+        return self.n_labels + self.n_parts + 4
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, train: bool = False, raw_output: bool = False
+    ):
+        x = x.astype(self.dtype)
+        c2, c3, c4, c5 = ResNet34Encoder(dtype=self.dtype, name="encoder")(x, train=train)
+
+        f4 = nn.Conv(
+            self.fpn_depth, (1, 1), use_bias=True, dtype=self.dtype, name="up1"
+        )(c5)
+        f3 = FpnBlock(self.fpn_depth, dtype=self.dtype, name="up2")(f4, c4, train=train)
+        f2 = FpnBlock(self.fpn_depth, dtype=self.dtype, name="up3")(f3, c3, train=train)
+        f1 = FpnBlock(self.fpn_depth, dtype=self.dtype, name="up4")(f2, c2, train=train)
+
+        out = nn.Conv(
+            self.out_channels, (1, 1), use_bias=True, dtype=self.dtype, name="head"
+        )(f1)
+        out = out.astype(jnp.float32)
+
+        if raw_output:
+            return out  # (B, H/4, W/4, M+N+4)
+
+        nb_hm = self.n_labels + self.n_parts
+        return {
+            "anchor_hm": out[..., : self.n_labels],
+            "part_hm": out[..., self.n_labels : nb_hm],
+            "offsets": out[..., nb_hm : nb_hm + 2],
+            "embeddings": out[..., nb_hm + 2 : nb_hm + 4],
+        }
+
+
+def build_model(config, dtype: Optional[jnp.dtype] = None) -> SDNet:
+    return SDNet(
+        n_labels=config.n_labels,
+        n_parts=config.n_parts,
+        fpn_depth=config.fpn_depth,
+        dtype=dtype if dtype is not None else config.compute_dtype,
+    )
+
+
+def init_model(
+    config, rng: Optional[jax.Array] = None, input_size: Optional[Tuple[int, int]] = None
+) -> Tuple[SDNet, Dict[str, Any]]:
+    """Initialize model variables ({'params', 'batch_stats'})."""
+    model = build_model(config)
+    rng = rng if rng is not None else jax.random.PRNGKey(config.seed)
+    w, h = input_size or config.input_size
+    dummy = jnp.zeros((1, h, w, config.in_channels), jnp.float32)
+    variables = jax.jit(lambda: model.init(rng, dummy, train=False))()
+    return model, variables
+
+
+def save_params(variables: Dict[str, Any], path) -> None:
+    """Serialize model variables (params + batch_stats) to msgpack —
+    the analog of the reference's `torch.save(state_dict)`
+    (network.py:86-87)."""
+    from pathlib import Path
+
+    data = flax.serialization.msgpack_serialize(
+        jax.tree.map(lambda x: jax.device_get(x), flax.core.unfreeze(variables))
+    )
+    Path(path).write_bytes(data)
+
+
+def load_params(path) -> Dict[str, Any]:
+    """Load model variables saved by `save_params`, or bridge a torch
+    `.pth` state_dict (reference checkpoint) transparently."""
+    from pathlib import Path
+
+    path = Path(path)
+    if path.suffix in {".pth", ".pt"}:
+        from .torch_bridge import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+    return flax.serialization.msgpack_restore(path.read_bytes())

@@ -1,0 +1,100 @@
+"""ResNet34 encoder, NHWC, Flax linen.
+
+Architecture matches torchvision's resnet34 used by the reference
+(`/root/reference/src/sdnet/model/network.py:41-50`): 7x7/2 stem + 3x3/2
+max pool, then BasicBlock stages [3, 4, 6, 3] at widths [64, 128, 256,
+512]. Returned as the four stage feature maps (strides 4/8/16/32) for the
+FPN decoder.
+
+TPU-first choices: NHWC layout (native conv layout for the MXU), compute
+dtype configurable (bf16 by default via the model wrapper), parameters
+and batch-norm statistics always float32. Submodule names mirror the
+torchvision state_dict so pretrained/reference weights can be bridged
+mechanically (`models.torch_bridge`).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+STAGE_SIZES = (3, 4, 6, 3)  # resnet34
+STAGE_WIDTHS = (64, 128, 256, 512)
+
+
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock: 3x3-BN-ReLU-3x3-BN + identity, ReLU."""
+
+    filters: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        identity = x
+        y = nn.Conv(
+            self.filters, (3, 3), strides=self.stride, padding=1, use_bias=False,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn1",
+        )(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.filters, (3, 3), strides=1, padding=1, use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn2",
+        )(y)
+
+        if self.stride != 1 or identity.shape[-1] != self.filters:
+            identity = nn.Conv(
+                self.filters, (1, 1), strides=self.stride, use_bias=False,
+                dtype=self.dtype, name="downsample_conv",
+            )(identity)
+            identity = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32, name="downsample_bn",
+            )(identity)
+
+        return nn.relu(y + identity.astype(y.dtype))
+
+
+class ResNet34Encoder(nn.Module):
+    """Stem + 4 stages; returns (C2, C3, C4, C5) at strides (4, 8, 16, 32)."""
+
+    dtype: jnp.dtype = jnp.float32
+    stage_sizes: Sequence[int] = STAGE_SIZES
+    stage_widths: Sequence[int] = STAGE_WIDTHS
+
+    @nn.compact
+    def __call__(self, x, train: bool) -> Tuple[jax.Array, ...]:
+        # Stem ("adapter" in the reference, network.py:43-45)
+        x = nn.Conv(
+            64, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype,
+            name="conv1",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, name="bn1",
+        )(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, stride=2, padding=1)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = []
+        for stage, (n_blocks, width) in enumerate(zip(self.stage_sizes, self.stage_widths)):
+            for block in range(n_blocks):
+                stride = 2 if stage > 0 and block == 0 else 1
+                x = BasicBlock(
+                    width, stride=stride, dtype=self.dtype,
+                    name=f"layer{stage + 1}_{block}",
+                )(x, train=train)
+            feats.append(x)
+        return tuple(feats)

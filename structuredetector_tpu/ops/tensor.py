@@ -1,0 +1,133 @@
+"""Core device tensor ops, NHWC layout, jit/XLA friendly.
+
+Semantics are the spec of the reference helpers
+(`/root/reference/src/sdnet/utils/utils.py:342-467`), re-designed for TPU:
+
+- heatmaps live as (B, H, W, C) so spatial window ops vectorize on the VPU
+  and convs feed the MXU without layout transposes,
+- `plateau_nms` is the 5x5 max-pool equality mask ("plateau NMS"),
+- `topk_per_class` is the two-stage CenterNet top-k: per-class top-k over
+  the H*W plane, then global top-k over (C*k) with class id = index // k.
+
+All shapes are static; everything here composes under `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+CLAMP_EPS = 1e-6  # reference utils.py:361
+
+
+def clamp_in_0_1(x: jax.Array) -> jax.Array:
+    return jnp.clip(x, CLAMP_EPS, 1.0 - CLAMP_EPS)
+
+
+def clamped_sigmoid(x: jax.Array) -> jax.Array:
+    """sigmoid clamped to [1e-6, 1-1e-6] (reference utils.py:355-361)."""
+    return clamp_in_0_1(jax.nn.sigmoid(x))
+
+
+def plateau_nms(heatmaps: jax.Array, window: int = 5) -> jax.Array:
+    """Plateau non-maximum suppression (reference utils.py:441-443).
+
+    Keeps a pixel iff it equals the max of its `window x window`
+    neighborhood; all other pixels are zeroed. heatmaps: (B, H, W, C).
+    """
+    pad = window // 2
+    max_values = lax.reduce_window(
+        heatmaps,
+        -jnp.inf,
+        lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, 1, 1, 1),
+        padding=((0, 0), (pad, pad), (pad, pad), (0, 0)),
+    )
+    return jnp.where(heatmaps == max_values, heatmaps, jnp.zeros_like(heatmaps))
+
+
+def topk_per_class(scores: jax.Array, k: int):
+    """Two-stage top-k (reference utils.py:447-467).
+
+    scores: (B, H, W, C). Stage 1: top-k per class over the flattened
+    H*W plane. Stage 2: global top-k over the (C * k) stage-1 scores;
+    the winning class is recovered as `flat_index // k` exactly as the
+    reference does.
+
+    Returns (scores, inds, classes, ys, xs), each (B, k). `inds` are flat
+    row-major spatial indices y * W + x (matching the reference layout so
+    gathered features agree).
+    """
+    b, h, w, c = scores.shape
+    # (B, C, H*W)
+    per_class = jnp.transpose(scores, (0, 3, 1, 2)).reshape(b, c, h * w)
+    topk_scores, topk_inds = lax.top_k(per_class, k)  # (B, C, k)
+
+    topk_ys = (topk_inds // w).astype(scores.dtype)
+    topk_xs = (topk_inds % w).astype(scores.dtype)
+
+    flat_scores = topk_scores.reshape(b, c * k)
+    topk_score, topk_ind = lax.top_k(flat_scores, k)  # (B, k)
+    topk_classes = (topk_ind // k).astype(scores.dtype)
+
+    take = lambda t: jnp.take_along_axis(t.reshape(b, c * k), topk_ind, axis=1)
+    return (
+        topk_score,
+        take(topk_inds),
+        topk_classes,
+        take(topk_ys),
+        take(topk_xs),
+    )
+
+
+def gather_features(feat: jax.Array, inds: jax.Array) -> jax.Array:
+    """Gather per-pixel feature vectors at flat spatial indices.
+
+    feat: (B, H, W, C), inds: (B, N) flat indices y * W + x.
+    Returns (B, N, C). NHWC analog of the reference's
+    `transpose_and_gather` (utils.py:347-351) — no transpose needed.
+    """
+    b, h, w, c = feat.shape
+    flat = feat.reshape(b, h * w, c)
+    return jnp.take_along_axis(flat, inds[..., None].astype(jnp.int32), axis=1)
+
+
+def gaussian_heatmap_max(
+    heat: jax.Array,
+    centers_x: jax.Array,
+    centers_y: jax.Array,
+    classes: jax.Array,
+    mask: jax.Array,
+    sigma,
+    n_channels: int,
+) -> jax.Array:
+    """Render unnormalized Gaussians, max-merged per class channel.
+
+    TPU-first replacement for the reference's per-keypoint Python splat
+    loop (`transforms.py:157-191` with `gaussian_2d`, utils.py:418-419):
+    the whole batch of keypoints is rendered with one broadcasted
+    expression XLA fuses on the VPU.
+
+    heat: (B, H, W, C) initial heatmaps (usually zeros),
+    centers_*: (B, K) integer-valued grid coordinates (the reference
+    splats at `int(x), int(y)`), classes: (B, K) channel index,
+    mask: (B, K) validity, sigma: scalar.
+    Returns heat max-merged with each keypoint's Gaussian.
+    """
+    b, h, w, c = heat.shape
+    assert c == n_channels
+    ys = lax.broadcasted_iota(jnp.float32, (1, 1, h, w), 2)
+    xs = lax.broadcasted_iota(jnp.float32, (1, 1, h, w), 3)
+    dx2 = (xs - centers_x[:, :, None, None].astype(jnp.float32)) ** 2
+    dy2 = (ys - centers_y[:, :, None, None].astype(jnp.float32)) ** 2
+    gauss = jnp.exp(-(dx2 + dy2) / (2.0 * sigma**2))  # (B, K, H, W)
+    gauss = jnp.where(mask[:, :, None, None], gauss, 0.0)
+
+    out = heat
+    for ch in range(n_channels):
+        ch_mask = (classes == ch)[:, :, None, None]
+        ch_gauss = jnp.max(jnp.where(ch_mask, gauss, 0.0), axis=1)  # (B, H, W)
+        out = out.at[..., ch].max(ch_gauss.astype(heat.dtype))
+    return out

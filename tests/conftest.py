@@ -1,0 +1,33 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip semantics (pjit shardings, psum gradients) are tested without
+a TPU slice via XLA's fake host devices, per SURVEY.md §4.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(926354916)
+
+
+@pytest.fixture(scope="session")
+def tiny_config():
+    """A small config for fast CPU tests: 64x64 input, 16x16 grid."""
+    from structuredetector_tpu.config import Config
+
+    cfg = Config(width=64, height=64, max_objects=4, max_parts=8, fpn_depth=32,
+                 batch_size=2, use_amp=False)
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    return cfg

@@ -1,0 +1,198 @@
+"""Decode path: device arrays + host grouping vs hand-built scenarios
+(reference decoders.py semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from structuredetector_tpu.data.decoders import Decoder, ExportDecoder, KeypointDecoder
+from structuredetector_tpu.ops.decode import decode_feature_maps, split_head_output
+
+
+def logit(p):
+    return float(np.log(p / (1 - p)))
+
+
+def build_outputs(tiny_config, anchors, parts, out=16):
+    """anchors: list of (x, y, score, label); parts: list of
+    (x, y, score, kind, emb_dx, emb_dy). Integer coords; offsets maps set
+    to 0 except where given."""
+    m, n = tiny_config.n_labels, tiny_config.n_parts
+    anchor_hm = np.full((1, out, out, m), -12.0, np.float32)  # sigmoid ~ 6e-6
+    part_hm = np.full((1, out, out, n), -12.0, np.float32)
+    offsets = np.zeros((1, out, out, 2), np.float32)
+    embeddings = np.zeros((1, out, out, 2), np.float32)
+    for x, y, score, label in anchors:
+        anchor_hm[0, y, x, label] = logit(score)
+    for x, y, score, kind, dx, dy in parts:
+        part_hm[0, y, x, kind] = logit(score)
+        embeddings[0, y, x] = (dx, dy)
+    return {
+        "anchor_hm": jnp.asarray(anchor_hm),
+        "part_hm": jnp.asarray(part_hm),
+        "offsets": jnp.asarray(offsets),
+        "embeddings": jnp.asarray(embeddings),
+    }
+
+
+def test_split_head_output():
+    raw = jnp.arange(2 * 3 * 3 * 7).reshape(2, 3, 3, 7).astype(jnp.float32)
+    d = split_head_output(raw, 2, 1)
+    assert d["anchor_hm"].shape == (2, 3, 3, 2)
+    assert d["part_hm"].shape == (2, 3, 3, 1)
+    assert d["offsets"].shape == (2, 3, 3, 2)
+    assert d["embeddings"].shape == (2, 3, 3, 2)
+    np.testing.assert_array_equal(np.asarray(d["offsets"]), np.asarray(raw[..., 3:5]))
+
+
+def test_decode_single_object_with_parts(tiny_config):
+    """One bean at (4,4) with two leaves pointing back at it."""
+    outputs = build_outputs(
+        tiny_config,
+        anchors=[(4, 4, 0.9, 0)],
+        parts=[
+            (7, 4, 0.8, 0, -3.0, 0.0),  # origin (4, 4) -> links
+            (4, 8, 0.7, 0, 0.0, -4.0),  # origin (4, 4) -> links
+        ],
+    )
+    decoder = Decoder(tiny_config, use_pallas=False)
+    anns = decoder(outputs, conf_thresh=0.5, dist_thresh=0.2)
+    assert len(anns) == 1
+    assert len(anns[0].objects) == 1
+    obj = anns[0].objects[0]
+    assert obj.name == "bean"
+    # grid (4,4) -> input pixels x4 (down_ratio)
+    assert obj.x == pytest.approx(16.0, abs=0.2)
+    assert obj.nb_parts == 2
+    kinds = {p.kind for p in obj.parts}
+    assert kinds == {"leaf"}
+
+
+def test_decode_low_conf_anchor_dropped(tiny_config):
+    outputs = build_outputs(tiny_config, anchors=[(4, 4, 0.3, 1)], parts=[])
+    anns = Decoder(tiny_config, use_pallas=False)(outputs, conf_thresh=0.5)
+    assert len(anns[0].objects) == 0
+
+
+def test_decode_part_links_to_nearest_anchor(tiny_config):
+    outputs = build_outputs(
+        tiny_config,
+        anchors=[(2, 2, 0.9, 0), (12, 12, 0.85, 1)],
+        parts=[(10, 10, 0.8, 0, 1.5, 1.5)],  # origin (11.5, 11.5), nearer to (12,12)
+    )
+    anns = Decoder(tiny_config, use_pallas=False)(outputs, conf_thresh=0.5, dist_thresh=0.2)
+    objs = {o.name: o for o in anns[0].objects}
+    assert objs["maize"].nb_parts == 1
+    assert objs["bean"].nb_parts == 0
+
+
+def test_decode_association_distance_threshold(tiny_config):
+    """Part whose origin is too far from any anchor stays unlinked
+    (decoders.py:100: min < dist_thresh * min(out_w, out_h))."""
+    outputs = build_outputs(
+        tiny_config,
+        anchors=[(2, 2, 0.9, 0)],
+        parts=[(12, 12, 0.8, 0, 0.0, 0.0)],  # origin (12, 12), dist ~14
+    )
+    anns = Decoder(tiny_config, use_pallas=False)(outputs, conf_thresh=0.5, dist_thresh=0.1)
+    assert anns[0].objects[0].nb_parts == 0
+
+
+def test_decode_subthreshold_part_never_links(tiny_config):
+    outputs = build_outputs(
+        tiny_config,
+        anchors=[(4, 4, 0.9, 0)],
+        parts=[(5, 4, 0.2, 0, -1.0, 0.0)],  # low score
+    )
+    anns = Decoder(tiny_config, use_pallas=False)(outputs, conf_thresh=0.5, dist_thresh=0.2)
+    assert anns[0].objects[0].nb_parts == 0
+
+
+def test_decode_subpixel_offsets(tiny_config):
+    outputs = build_outputs(tiny_config, anchors=[(4, 4, 0.9, 0)], parts=[])
+    offsets = np.zeros((1, 16, 16, 2), np.float32)
+    offsets[0, 4, 4] = (0.25, 0.75)
+    outputs["offsets"] = jnp.asarray(offsets)
+    anns = Decoder(tiny_config, use_pallas=False)(outputs, conf_thresh=0.5)
+    obj = anns[0].objects[0]
+    assert obj.x == pytest.approx((4 + 0.25) * 4)
+    assert obj.y == pytest.approx((4 + 0.75) * 4)
+
+
+def test_decode_metadata_raw_parts(tiny_config):
+    outputs = build_outputs(
+        tiny_config,
+        anchors=[(4, 4, 0.9, 0)],
+        parts=[(7, 4, 0.8, 0, -3.0, 0.0), (10, 10, 0.3, 0, 0.0, 0.0)],
+    )
+    data = Decoder(tiny_config, use_pallas=False)(
+        outputs, conf_thresh=0.5, dist_thresh=0.2, return_metadata=True
+    )
+    assert len(data["annotation"]) == 1
+    # only the conf>=0.5 part appears in raw_parts, rescaled to input px
+    assert len(data["raw_parts"][0]) == 1
+    assert data["raw_parts"][0][0].x == pytest.approx(28.0)
+    assert data["anchor_hm_sig"].shape == (1, 16, 16, 2)
+
+
+def test_nms_inside_decode_suppresses_neighbors(tiny_config):
+    """Two adjacent high pixels: only the max survives as a detection."""
+    outputs = build_outputs(
+        tiny_config, anchors=[(4, 4, 0.9, 0), (5, 4, 0.8, 0)], parts=[]
+    )
+    anns = Decoder(tiny_config, use_pallas=False)(outputs, conf_thresh=0.5)
+    assert len(anns[0].objects) == 1
+    assert anns[0].objects[0].x == pytest.approx(16.0)
+
+
+def test_export_decoder_skips_sigmoid_nms(tiny_config):
+    """ExportDecoder consumes already-sigmoided+suppressed maps
+    (reference CoreMLDecoder, decoders.py:182-226)."""
+    out = 16
+    m, n = tiny_config.n_labels, tiny_config.n_parts
+    anchor_hm = np.zeros((1, out, out, m), np.float32)
+    anchor_hm[0, 4, 4, 0] = 0.9
+    outputs = {
+        "anchor_hm": jnp.asarray(anchor_hm),
+        "part_hm": jnp.zeros((1, out, out, n)),
+        "offsets": jnp.zeros((1, out, out, 2)),
+        "embeddings": jnp.zeros((1, out, out, 2)),
+    }
+    anns = ExportDecoder(tiny_config, use_pallas=False)(outputs, conf_thresh=0.5)
+    assert len(anns[0].objects) == 1
+
+
+def test_keypoint_decoder_flat(tiny_config):
+    outputs = build_outputs(
+        tiny_config,
+        anchors=[(4, 4, 0.9, 1)],
+        parts=[(8, 8, 0.8, 0, 0.0, 0.0)],
+    )
+    kps = KeypointDecoder(tiny_config, use_pallas=False)(outputs)
+    kinds = sorted(kp.kind for kp in kps[0])
+    assert kinds == ["leaf", "maize"]
+
+
+def test_decode_masking_constants(tiny_config):
+    """Sub-threshold anchors are pushed to +1e6 and can't attract parts
+    even as argmin (decoders.py:83-86)."""
+    outputs = build_outputs(
+        tiny_config,
+        anchors=[(10, 10, 0.3, 0), (2, 2, 0.9, 0)],  # near anchor is low-conf
+        parts=[(11, 10, 0.8, 0, -1.0, 0.0)],  # origin (10, 10)
+    )
+    anns = Decoder(tiny_config, use_pallas=False)(outputs, conf_thresh=0.5, dist_thresh=0.2)
+    # the only kept object is the far bean at (2,2); the part is NOT
+    # linked (distance from (10,10) to (2,2) > 0.2*16)
+    assert len(anns[0].objects) == 1
+    assert anns[0].objects[0].nb_parts == 0
+
+
+def test_decode_arrays_jit_shapes(tiny_config):
+    outputs = build_outputs(tiny_config, anchors=[(4, 4, 0.9, 0)], parts=[])
+    dec = Decoder(tiny_config, use_pallas=False).decode_arrays(outputs, 0.5, 0.1)
+    K, P = tiny_config.max_objects, tiny_config.max_parts
+    assert dec["anchors"].shape == (1, K, 4)
+    assert dec["parts"].shape == (1, P, 6)
+    assert dec["part_parent"].shape == (1, P)
+    assert dec["part_valid"].shape == (1, P)

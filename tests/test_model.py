@@ -1,0 +1,135 @@
+"""Model: shapes, parameter structure, bridge compatibility."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from structuredetector_tpu.models.network import SDNet, init_model, upsample2x_nearest
+
+
+def test_upsample2x_nearest():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = np.asarray(upsample2x_nearest(x))[0, :, :, 0]
+    want = np.array([[0, 0, 1, 1], [0, 0, 1, 1], [2, 2, 3, 3], [2, 2, 3, 3]], float)
+    np.testing.assert_array_equal(y, want)
+
+
+def test_model_output_shapes(tiny_config):
+    model, variables = init_model(tiny_config)
+    x = jnp.zeros((2, 64, 64, 3))
+    out = model.apply(variables, x, train=False)
+    # stride 4: 64 -> 16 (network.py:72-84)
+    assert out["anchor_hm"].shape == (2, 16, 16, 2)
+    assert out["part_hm"].shape == (2, 16, 16, 1)
+    assert out["offsets"].shape == (2, 16, 16, 2)
+    assert out["embeddings"].shape == (2, 16, 16, 2)
+
+
+def test_model_raw_output(tiny_config):
+    model, variables = init_model(tiny_config)
+    x = jnp.zeros((1, 64, 64, 3))
+    raw = model.apply(variables, x, train=False, raw_output=True)
+    assert raw.shape == (1, 16, 16, 2 + 1 + 4)
+
+
+def test_model_train_mode_updates_batch_stats(tiny_config):
+    model, variables = init_model(tiny_config)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3))
+    out, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    old = variables["batch_stats"]["encoder"]["bn1"]["mean"]
+    new = mutated["batch_stats"]["encoder"]["bn1"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+def test_resnet34_param_count():
+    """Full-width encoder matches torchvision resnet34 trunk (~21.28M
+    params sans fc): conv+bn params only."""
+    model = SDNet(n_labels=2, n_parts=1, fpn_depth=128)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
+    enc = variables["params"]["encoder"]
+    n = sum(x.size for x in jax.tree.leaves(enc))
+    # torchvision resnet34: 21,284,672 params minus fc (513000) = 20,771,672;
+    # BN scale+bias included in both.
+    assert n == 21_284_672 - 513_000
+
+
+def test_bridge_roundtrip(tiny_config):
+    """A synthetic torch-style state_dict (numpy) bridges into the exact
+    flax variable structure."""
+    from structuredetector_tpu.models.torch_bridge import convert_sdnet_state_dict
+
+    model, variables = init_model(tiny_config)
+
+    # Build a fake reference state_dict with the right shapes by reversing
+    # our own params.
+    sd = {}
+
+    def put_conv(key, kernel):
+        sd[key] = np.transpose(np.asarray(kernel), (3, 2, 0, 1))
+
+    def put_bn(prefix, bn_params, bn_stats):
+        sd[f"{prefix}.weight"] = np.asarray(bn_params["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(bn_params["bias"])
+        sd[f"{prefix}.running_mean"] = np.asarray(bn_stats["mean"])
+        sd[f"{prefix}.running_var"] = np.asarray(bn_stats["var"])
+
+    p, s = variables["params"], variables["batch_stats"]
+    put_conv("adpater.0.weight", p["encoder"]["conv1"]["kernel"])
+    put_bn("adpater.1", p["encoder"]["bn1"], s["encoder"]["bn1"])
+    for stage, n_blocks in enumerate((3, 4, 6, 3)):
+        for b in range(n_blocks):
+            name = f"layer{stage + 1}_{b}"
+            tname = f"down{stage + 1}.{b}"
+            put_conv(f"{tname}.conv1.weight", p["encoder"][name]["conv1"]["kernel"])
+            put_bn(f"{tname}.bn1", p["encoder"][name]["bn1"], s["encoder"][name]["bn1"])
+            put_conv(f"{tname}.conv2.weight", p["encoder"][name]["conv2"]["kernel"])
+            put_bn(f"{tname}.bn2", p["encoder"][name]["bn2"], s["encoder"][name]["bn2"])
+            if stage > 0 and b == 0:
+                put_conv(
+                    f"{tname}.downsample.0.weight",
+                    p["encoder"][name]["downsample_conv"]["kernel"],
+                )
+                put_bn(
+                    f"{tname}.downsample.1",
+                    p["encoder"][name]["downsample_bn"],
+                    s["encoder"][name]["downsample_bn"],
+                )
+    put_conv("up1.weight", p["up1"]["kernel"])
+    sd["up1.bias"] = np.asarray(p["up1"]["bias"])
+    for k in (2, 3, 4):
+        put_conv(f"up{k}.lateral.weight", p[f"up{k}"]["lateral"]["kernel"])
+        sd[f"up{k}.lateral.bias"] = np.asarray(p[f"up{k}"]["lateral"]["bias"])
+        put_conv(f"up{k}.conv.0.weight", p[f"up{k}"]["conv"]["kernel"])
+        put_bn(f"up{k}.conv.1", p[f"up{k}"]["bn"], s[f"up{k}"]["bn"])
+    put_conv("head.conv.weight", p["head"]["kernel"])
+    sd["head.conv.bias"] = np.asarray(p["head"]["bias"])
+
+    bridged = convert_sdnet_state_dict(sd)
+
+    # Structures must match exactly, and the model must run with them.
+    want_struct = jax.tree_util.tree_structure(jax.tree.map(lambda x: 0, dict(variables)))
+    got_struct = jax.tree_util.tree_structure(jax.tree.map(lambda x: 0, bridged))
+    assert want_struct == got_struct
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out_a = model.apply(variables, x, train=False)
+    out_b = model.apply(bridged, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_a["anchor_hm"]), np.asarray(out_b["anchor_hm"]), atol=1e-6
+    )
+
+
+def test_save_load_params(tiny_config, tmp_path):
+    from structuredetector_tpu.models.network import load_params, save_params
+
+    model, variables = init_model(tiny_config)
+    path = tmp_path / "model.msgpack"
+    save_params(variables, path)
+    loaded = load_params(path)
+    x = jnp.ones((1, 64, 64, 3))
+    a = model.apply(variables, x, train=False)
+    b = model.apply(loaded, x, train=False)
+    np.testing.assert_allclose(np.asarray(a["offsets"]), np.asarray(b["offsets"]))
