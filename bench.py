@@ -1,0 +1,78 @@
+"""Headline benchmark: batched end-to-end 512x512 inference throughput.
+
+Runs on whatever accelerator JAX exposes (one TPU chip under the
+driver). Measures the full device path — bf16 ResNet34-FPN forward +
+fused sigmoid/NMS + top-k decode to fixed-shape detection arrays —
+i.e. everything up to the host annotation materialization.
+
+Baseline: the reference's best published end-to-end number, 90 fps on
+an M1 Pro ANE (/root/reference/README.md:114; BASELINE.md). North star:
+>1000 fps/chip (BASELINE.json).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from structuredetector_tpu.config import Config
+from structuredetector_tpu.models import init_model
+from structuredetector_tpu.ops.decode import decode_feature_maps
+
+BASELINE_FPS = 90.0  # reference README.md:114 (M1 Pro ANE, end-to-end)
+
+
+def main():
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = Config(width=512, height=512, use_amp=True)
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    cfg.validate()
+
+    model, variables = init_model(cfg)
+    batch = 32 if on_tpu else 2
+
+    nms_fn = None
+    if on_tpu:
+        from structuredetector_tpu.ops.pallas import fused_sigmoid_nms
+
+        nms_fn = fused_sigmoid_nms
+
+    @jax.jit
+    def infer(variables, images):
+        outputs = model.apply(variables, images, train=False)
+        return decode_feature_maps(
+            outputs,
+            max_objects=cfg.max_objects,
+            max_parts=cfg.max_parts,
+            conf_thresh=cfg.conf_threshold,
+            dist_thresh=cfg.decoder_dist_thresh,
+            nms_fn=nms_fn,
+        )
+
+    images = jnp.zeros((batch, cfg.height, cfg.width, 3), jnp.float32)
+
+    # warmup / compile
+    out = infer(variables, images)
+    jax.block_until_ready(out)
+
+    iters = 20 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, images)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    print(json.dumps({
+        "metric": "e2e_inference_fps_512",
+        "value": round(fps, 1),
+        "unit": "img/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

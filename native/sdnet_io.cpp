@@ -1,0 +1,278 @@
+// sdnet_io: native host-side input pipeline for structuredetector-tpu.
+//
+// The reference delegates image IO to PIL inside torch DataLoader worker
+// processes (reference dataset.py:41-49, trainer.py:62-87). This library
+// is the TPU-native replacement for the host side of that path: a fused
+// JPEG/PNG decode -> scaled decode -> bilinear resize -> (optional flip)
+// -> ImageNet normalize pipeline in C++, plus a std::thread batch loader
+// that fills one contiguous NHWC float32 batch buffer (ready for a single
+// host->HBM transfer).
+//
+// Key speed levers:
+//  - libjpeg DCT-space scaled decode (scale 1/1..1/8): a 2448x2048 photo
+//    headed for 512x512 is decoded at ~1/4 resolution, ~10x less work,
+//  - one pass fuses resize + normalize (and flips via index mirroring),
+//  - per-image threads with no GIL involvement; Python only sees the
+//    filled batch buffer.
+//
+// Exposed as a plain C ABI for ctypes (no pybind11 dependency).
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <csetjmp>
+#include <string>
+#include <thread>
+#include <vector>
+
+#include <jpeglib.h>
+#include <png.h>
+
+namespace {
+
+struct Image {
+  int w = 0, h = 0, c = 0;
+  std::vector<uint8_t> data;  // HWC, 8-bit
+};
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jmp;
+};
+
+void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(err->jmp, 1);
+}
+
+bool decode_jpeg(const char* path, int target_w, int target_h, Image* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+
+  // Pick the largest DCT downscale that still covers the target.
+  if (target_w > 0 && target_h > 0) {
+    int denom = 1;
+    while (denom < 8 && (int)cinfo.image_width / (denom * 2) >= target_w &&
+           (int)cinfo.image_height / (denom * 2) >= target_h) {
+      denom *= 2;
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->c = cinfo.output_components;  // 3 for RGB
+  out->data.resize((size_t)out->w * out->h * out->c);
+
+  const size_t stride = (size_t)out->w * out->c;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data.data() + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return out->c == 3;
+}
+
+bool decode_png(const char* path, Image* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  png_byte header[8];
+  if (std::fread(header, 1, 8, f) != 8 || png_sig_cmp(header, 0, 8)) {
+    std::fclose(f);
+    return false;
+  }
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(f);
+    return false;
+  }
+  png_init_io(png, f);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_palette_to_rgb(png);
+  png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_color_type(png, info) == PNG_COLOR_TYPE_GRAY ||
+      png_get_color_type(png, info) == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+
+  out->w = png_get_image_width(png, info);
+  out->h = png_get_image_height(png, info);
+  out->c = 3;
+  out->data.resize((size_t)out->w * out->h * 3);
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; y++)
+    rows[y] = out->data.data() + (size_t)y * out->w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(f);
+  return true;
+}
+
+bool ends_with(const std::string& s, const char* suf) {
+  std::string lower = s;
+  std::transform(lower.begin(), lower.end(), lower.begin(), ::tolower);
+  std::string t(suf);
+  return lower.size() >= t.size() && lower.compare(lower.size() - t.size(), t.size(), t) == 0;
+}
+
+// Fused bilinear resize + flip + normalize: uint8 HWC -> float32 HWC.
+void resize_normalize(const Image& img, int out_w, int out_h, bool hflip,
+                      bool vflip, const float* mean, const float* stdv,
+                      float* out) {
+  const float sx = (float)img.w / out_w;
+  const float sy = (float)img.h / out_h;
+  const float inv255 = 1.0f / 255.0f;
+  const float inv_std[3] = {1.0f / stdv[0], 1.0f / stdv[1], 1.0f / stdv[2]};
+
+  for (int oy = 0; oy < out_h; oy++) {
+    const int ty = vflip ? (out_h - 1 - oy) : oy;
+    // PIL-style bilinear: sample at pixel centers.
+    float fy = (ty + 0.5f) * sy - 0.5f;
+    fy = std::max(0.0f, std::min(fy, (float)img.h - 1));
+    const int y0 = (int)fy;
+    const int y1 = std::min(y0 + 1, img.h - 1);
+    const float wy = fy - y0;
+
+    float* dst = out + (size_t)oy * out_w * 3;
+    for (int ox = 0; ox < out_w; ox++) {
+      const int tx = hflip ? (out_w - 1 - ox) : ox;
+      float fx = (tx + 0.5f) * sx - 0.5f;
+      fx = std::max(0.0f, std::min(fx, (float)img.w - 1));
+      const int x0 = (int)fx;
+      const int x1 = std::min(x0 + 1, img.w - 1);
+      const float wx = fx - x0;
+
+      const uint8_t* p00 = img.data.data() + ((size_t)y0 * img.w + x0) * 3;
+      const uint8_t* p01 = img.data.data() + ((size_t)y0 * img.w + x1) * 3;
+      const uint8_t* p10 = img.data.data() + ((size_t)y1 * img.w + x0) * 3;
+      const uint8_t* p11 = img.data.data() + ((size_t)y1 * img.w + x1) * 3;
+
+      for (int ch = 0; ch < 3; ch++) {
+        const float top = p00[ch] + (p01[ch] - p00[ch]) * wx;
+        const float bot = p10[ch] + (p11[ch] - p10[ch]) * wx;
+        const float v = (top + (bot - top) * wy) * inv255;
+        dst[ox * 3 + ch] = (v - mean[ch]) * inv_std[ch];
+      }
+    }
+  }
+}
+
+bool load_one(const char* path, int out_w, int out_h, bool hflip, bool vflip,
+              const float* mean, const float* stdv, float* out,
+              int* orig_w, int* orig_h) {
+  Image img;
+  const std::string p(path);
+  bool ok = false;
+  if (ends_with(p, ".png")) {
+    ok = decode_png(path, &img);
+    if (ok && orig_w) { *orig_w = img.w; *orig_h = img.h; }
+  } else {
+    // JPEG path reports the pre-scaled original size.
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    jpeg_decompress_struct cinfo;
+    JpegErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jpeg_err_exit;
+    if (setjmp(jerr.jmp)) {
+      jpeg_destroy_decompress(&cinfo);
+      std::fclose(f);
+      return false;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_stdio_src(&cinfo, f);
+    jpeg_read_header(&cinfo, TRUE);
+    if (orig_w) { *orig_w = cinfo.image_width; *orig_h = cinfo.image_height; }
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    ok = decode_jpeg(path, out_w, out_h, &img);
+  }
+  if (!ok) return false;
+  resize_normalize(img, out_w, out_h, hflip, vflip, mean, stdv, out);
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode one image into a caller-provided (out_h, out_w, 3) float32 buffer.
+// Returns 1 on success. orig_w/orig_h receive the file's true size.
+int sdnet_load_image(const char* path, int out_w, int out_h, int hflip,
+                     int vflip, const float* mean, const float* stdv,
+                     float* out, int* orig_w, int* orig_h) {
+  return load_one(path, out_w, out_h, hflip != 0, vflip != 0, mean, stdv, out,
+                  orig_w, orig_h)
+             ? 1
+             : 0;
+}
+
+// Threaded batch load: n images into one contiguous (n, out_h, out_w, 3)
+// buffer. flips: per-image 2-int pairs (hflip, vflip), may be null.
+// ok: per-image success flags (len n). Returns count of successes.
+int sdnet_load_batch(const char** paths, int n, int out_w, int out_h,
+                     const int* flips, const float* mean, const float* stdv,
+                     float* out, int* orig_sizes, int* ok, int n_threads) {
+  if (n_threads <= 0) n_threads = 4;
+  n_threads = std::min(n_threads, n);
+  std::atomic<int> next(0), good(0);
+  const size_t stride = (size_t)out_w * out_h * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const bool hf = flips && flips[i * 2];
+      const bool vf = flips && flips[i * 2 + 1];
+      int ow = 0, oh = 0;
+      const int r = load_one(paths[i], out_w, out_h, hf, vf, mean, stdv,
+                             out + stride * i, &ow, &oh)
+                        ? 1
+                        : 0;
+      if (ok) ok[i] = r;
+      if (orig_sizes) {
+        orig_sizes[i * 2] = ow;
+        orig_sizes[i * 2 + 1] = oh;
+      }
+      if (r) good.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return good.load();
+}
+
+int sdnet_io_version() { return 1; }
+
+}  // extern "C"

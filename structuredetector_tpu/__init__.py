@@ -25,5 +25,34 @@ TPU-native design points (not in the reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: amortizes the slow first compile
+# across processes/sessions (multi-scale buckets, CLI restarts, tests).
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    try:
+        import jax as _jax
+
+        _cache = _os.path.join(
+            _os.environ.get("HOME", "/tmp"), ".cache", "structuredetector_tpu_xla"
+        )
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass
+
+if "JAX_PLATFORMS" in _os.environ:
+    # Some TPU platform plugins pre-import jax and ignore JAX_PLATFORMS;
+    # re-assert the user's choice via jax.config (no-op if the backend
+    # is already initialized).
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from .config import Config  # noqa: F401
 from .annotations import Box, ImageAnnotation, Keypoint, Object  # noqa: F401

@@ -1,0 +1,126 @@
+"""`benchmark` console script: device throughput measurements.
+
+Measures (on the current JAX backend):
+- end-to-end batched inference (forward + fused decode),
+- forward-only,
+- decode-only (XLA vs Pallas sigmoid+NMS front),
+- train-step throughput (encode + fwd + bwd + update).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _time(fn, *args, iters=20, warmup=2):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", "-W", type=int, default=512)
+    p.add_argument("--height", "-H", type=int, default=512)
+    p.add_argument("--batch_size", "-b", type=int, default=32)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--fp32", action="store_true")
+    p.add_argument("--json", action="store_true", dest="as_json")
+    args = p.parse_args(argv)
+
+    from ..config import Config
+    from ..models import init_model
+    from ..ops.decode import decode_feature_maps
+    from ..ops.pallas import fused_sigmoid_nms
+    from ..train.state import create_train_state, make_optimizer
+    from ..train.steps import make_train_step
+
+    cfg = Config(width=args.width, height=args.height, use_amp=not args.fp32)
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    cfg.validate()
+    b = args.batch_size
+
+    model, variables = init_model(cfg)
+    images = jnp.zeros((b, cfg.height, cfg.width, 3), jnp.float32)
+    on_tpu = jax.default_backend() == "tpu"
+
+    results = {}
+
+    forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    t = _time(forward, variables, images, iters=args.iters)
+    results["forward_fps"] = b / t
+
+    def make_infer(nms_fn):
+        @jax.jit
+        def infer(v, x):
+            return decode_feature_maps(
+                model.apply(v, x, train=False),
+                max_objects=cfg.max_objects, max_parts=cfg.max_parts,
+                conf_thresh=cfg.conf_threshold, dist_thresh=cfg.decoder_dist_thresh,
+                nms_fn=nms_fn,
+            )
+        return infer
+
+    t = _time(make_infer(None), variables, images, iters=args.iters)
+    results["e2e_xla_fps"] = b / t
+    if on_tpu:
+        t = _time(make_infer(fused_sigmoid_nms), variables, images, iters=args.iters)
+        results["e2e_pallas_fps"] = b / t
+
+    # decode-only on synthetic maps
+    out_w, out_h = cfg.grid_size()
+    maps = {
+        "anchor_hm": jnp.zeros((b, out_h, out_w, cfg.n_labels)),
+        "part_hm": jnp.zeros((b, out_h, out_w, cfg.n_parts)),
+        "offsets": jnp.zeros((b, out_h, out_w, 2)),
+        "embeddings": jnp.zeros((b, out_h, out_w, 2)),
+    }
+    for name, nms_fn in (("xla", None),) + ((("pallas", fused_sigmoid_nms),) if on_tpu else ()):
+        dec = jax.jit(lambda m, f=nms_fn: decode_feature_maps(
+            m, max_objects=cfg.max_objects, max_parts=cfg.max_parts,
+            conf_thresh=cfg.conf_threshold, dist_thresh=cfg.decoder_dist_thresh,
+            nms_fn=f))
+        t = _time(dec, maps, iters=args.iters)
+        results[f"decode_{name}_us_per_img"] = t / b * 1e6
+
+    # train step
+    optimizer = make_optimizer(cfg, steps_per_epoch=100)
+    state = create_train_state(cfg, variables, optimizer)
+    step = make_train_step(model, cfg, optimizer, out_h=out_h, out_w=out_w,
+                           donate=False)
+    o, pmax = cfg.max_objects, cfg.max_parts
+    kp = {
+        "anchors_xy": jnp.ones((b, o, 2)), "anchor_cls": jnp.zeros((b, o), jnp.int32),
+        "anchor_mask": jnp.ones((b, o), bool), "parts_xy": jnp.ones((b, pmax, 2)),
+        "part_kind": jnp.zeros((b, pmax), jnp.int32),
+        "part_owner_xy": jnp.ones((b, pmax, 2)), "part_mask": jnp.ones((b, pmax), bool),
+    }
+
+    def train_fn(s, x, k):
+        new_s, stats = step(s, x, k)
+        return stats["total_loss"]
+
+    t = _time(train_fn, state, images, kp, iters=max(5, args.iters // 2))
+    results["train_step_imgs_per_s"] = b / t
+
+    if args.as_json:
+        print(json.dumps({k: round(v, 2) for k, v in results.items()}))
+    else:
+        print(f"backend={jax.default_backend()} batch={b} "
+              f"{args.width}x{args.height} dtype={'fp32' if args.fp32 else 'bf16'}")
+        for k, v in results.items():
+            print(f"  {k:28s} {v:12.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,53 @@
+"""`convert_export` console script — serialize a trained model to a
+portable inference artifact (replaces `convert_coreml`,
+reference cli/convert_coreml.py:95-140)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+from ..config import Config
+from ..export import export_model
+from ..models.network import load_params
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("model", type=str, help="Path to the trained model to convert "
+                                           "(msgpack, or torch .pth to bridge).")
+    p.add_argument("--output", "-o", type=str, default="model.sdz",
+                   help="Output file name of the exported model.")
+    p.add_argument("--width", "-W", default=512, type=int)
+    p.add_argument("--height", "-H", default=512, type=int)
+    p.add_argument("--params", "-p", type=str, default="labels.json",
+                   help="Json file of anchor and part names.")
+    p.add_argument("--scale-factor", "-s", type=int, default=4)
+    p.add_argument("--fpn-depth", type=int, default=128)
+    p.add_argument("--anchor_name", type=str, default="anchor")
+    p.add_argument("--batch_size", "-b", type=int, default=1,
+                   help="Static batch size baked into the artifact.")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    names = json.loads(Path(args.params).expanduser().resolve().read_text())
+    if not isinstance(names["labels"], list) or not isinstance(names["parts"], list):
+        raise ValueError("labels/parts in the params file should be lists")
+
+    config = Config(
+        width=args.width, height=args.height, fpn_depth=args.fpn_depth,
+        down_ratio=float(args.scale_factor), anchor_name=args.anchor_name,
+    ).set_labels(names["labels"], names["parts"])
+    config.validate()
+
+    variables = load_params(Path(args.model).expanduser().resolve())
+    out = export_model(config, variables, args.output, batch_size=args.batch_size)
+    print(f"Exported to {out}")
+
+
+if __name__ == "__main__":
+    main()

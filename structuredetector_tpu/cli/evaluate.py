@@ -1,0 +1,54 @@
+"""`evaluate` console script (reference cli/evaluate.py:9-51).
+
+Loads a trained model (msgpack or bridged torch .pth), runs the
+validation set through forward -> decode -> Evaluator, prints the rich
+metric tables, optionally exports the keypoint CSV.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from tqdm import tqdm
+
+from ..config import config_from_args
+from ..data import CropDataset, Decoder, Loader, ValidationAugmentation
+from ..evaluation import Evaluator
+from ..models import init_model, load_params
+from ..train.steps import make_forward
+
+
+def main(argv=None):
+    config = config_from_args(argv)
+    assert config.valid_dir, "Path to a directory with validation samples must be specified."
+    assert config.pretrained_model, (
+        "No pretrained model specified. Use the option '--load_model <model_path>'."
+    )
+
+    evaluator = Evaluator(config)
+    dataset = CropDataset(config, config.valid_dir, ValidationAugmentation(config))
+    loader = Loader(dataset, batch_size=1, num_workers=config.num_workers)
+
+    model, _ = init_model(config)
+    variables = load_params(config.pretrained_model)
+    decoder = Decoder(config)
+    forward = make_forward(model)
+
+    for batch in tqdm(loader, desc="Evaluation", unit="image"):
+        outputs = forward(variables, jnp.asarray(batch["image"]))
+        data = decoder(outputs, return_metadata=True)
+        evaluator.accumulate(
+            data["annotation"][0],
+            batch["annotation"][0],
+            data["raw_parts"][0],
+            eval_csi=True,
+            eval_classif=True,
+        )
+
+    evaluator.pretty_print()
+    if config.csv_path is not None:
+        evaluator.save_kps_csv(config.csv_path)
+
+
+if __name__ == "__main__":
+    main()

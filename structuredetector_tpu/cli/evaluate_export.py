@@ -1,0 +1,78 @@
+"""`evaluate_export` console script — evaluate a serialized inference
+artifact (replaces `evaluate_coreml`, reference cli/evaluate_coreml.py:85-130).
+
+Decode params are read back from the artifact's embedded metadata
+(`evaluate_coreml.py:88-97`). Uses `ExportDecoder` (sigmoid+NMS already
+fused into the graph) — fixing the reference's double-NMS inconsistency
+(`evaluate_coreml.py:125` uses the plain Decoder; SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax.numpy as jnp
+from tqdm import tqdm
+
+from ..config import Config
+from ..data import CropDataset, ExportDecoder, Loader, ValidationAugmentation
+from ..evaluation import Evaluator
+from ..export import load_exported
+from ..ops.decode import split_head_output
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("model", type=str, help="Path to the exported .sdz model.")
+    p.add_argument("--valid_dir", type=str, required=True)
+    p.add_argument("--anchor_name", "-s", type=str, default="anchor")
+    p.add_argument("--max_objects", "-n", type=int, default=20)
+    p.add_argument("--max_parts", "-k", type=int, default=40)
+    p.add_argument("--sigma_gauss", type=float, default=0.1)
+    p.add_argument("--conf_threshold", "-t", type=float, default=0.5)
+    p.add_argument("--dist_threshold", "-d", type=float, default=0.05)
+    p.add_argument("--decoder_dist_thresh", type=float, default=0.1)
+    p.add_argument("--csi_threshold", type=float, default=0.75)
+    p.add_argument("--num_workers", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    call, meta = load_exported(Path(args.model).expanduser().resolve())
+
+    config = Config(
+        width=meta["width"], height=meta["height"],
+        down_ratio=float(meta["scale_factor"]),
+        anchor_name=meta.get("anchor_name", args.anchor_name),
+        max_objects=args.max_objects, max_parts=args.max_parts,
+        sigma_gauss=args.sigma_gauss, conf_threshold=args.conf_threshold,
+        dist_threshold=args.dist_threshold,
+        decoder_dist_thresh=args.decoder_dist_thresh,
+        csi_threshold=args.csi_threshold, num_workers=args.num_workers,
+        valid_dir=Path(args.valid_dir).expanduser().resolve(),
+    ).set_labels(meta["anchors"], meta["parts"])
+    config.validate()
+
+    evaluator = Evaluator(config)
+    decoder = ExportDecoder(config)
+    dataset = CropDataset(config, config.valid_dir, ValidationAugmentation(config))
+    loader = Loader(dataset, batch_size=meta.get("batch_size", 1),
+                    num_workers=config.num_workers)
+
+    for batch in tqdm(loader, desc="Evaluation", unit="image"):
+        raw = call(jnp.asarray(batch["image"]))
+        outputs = split_head_output(raw, config.n_labels, config.n_parts)
+        data = decoder(outputs, return_metadata=True)
+        for i, annotation in enumerate(batch["annotation"]):
+            evaluator.accumulate(
+                data["annotation"][i], annotation, data["raw_parts"][i],
+                eval_csi=True, eval_classif=True,
+            )
+
+    evaluator.pretty_print()
+
+
+if __name__ == "__main__":
+    main()

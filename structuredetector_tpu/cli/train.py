@@ -1,0 +1,18 @@
+"""`train` console script (reference cli/train.py:5-13)."""
+
+from __future__ import annotations
+
+from ..config import config_from_args
+from ..train import Trainer
+
+
+def main(argv=None):
+    config = config_from_args(argv)
+    assert config.train_dir, "Path to a directory with training samples must be specified."
+    assert config.valid_dir, "Path to a directory with validation samples must be specified."
+    trainer = Trainer(config)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""ctypes bindings for the native IO library (native/sdnet_io.cpp).
+
+The native tier of the input pipeline: fused JPEG/PNG decode (DCT-space
+scaled decode for JPEG) + bilinear resize + flip + ImageNet normalize in
+C++ threads, filling one contiguous NHWC float32 batch buffer. Replaces
+the PIL decode path of the reference's DataLoader workers
+(reference dataset.py:41-49) with a no-GIL, single-copy loader.
+
+Falls back gracefully: `available()` is False when the shared library
+hasn't been built (`make -C native`), and callers keep using PIL.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+from .augment import IMAGENET_MEAN, IMAGENET_STD
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _lib_path() -> Path:
+    return Path(__file__).resolve().parent.parent.parent / "native" / "libsdnet_io.so"
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.environ.get("SDNET_IO_LIB", str(_lib_path()))
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        _LIB = None
+        return None
+
+    lib.sdnet_load_image.restype = ctypes.c_int
+    lib.sdnet_load_image.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.sdnet_load_batch.restype = ctypes.c_int
+    lib.sdnet_load_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_MEAN = np.ascontiguousarray(IMAGENET_MEAN, np.float32)
+_STD = np.ascontiguousarray(IMAGENET_STD, np.float32)
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def load_image(
+    path, out_w: int, out_h: int, hflip: bool = False, vflip: bool = False
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Decode+resize+normalize one image -> ((out_h, out_w, 3) float32,
+    original (w, h))."""
+    lib = _load()
+    assert lib is not None, "native IO library not built (make -C native)"
+    out = np.empty((out_h, out_w, 3), np.float32)
+    ow, oh = ctypes.c_int(0), ctypes.c_int(0)
+    r = lib.sdnet_load_image(
+        str(path).encode(), out_w, out_h, int(hflip), int(vflip),
+        _fptr(_MEAN), _fptr(_STD), _fptr(out),
+        ctypes.byref(ow), ctypes.byref(oh),
+    )
+    if not r:
+        raise IOError(f"native decode failed for {path}")
+    return out, (ow.value, oh.value)
+
+
+def load_batch(
+    paths: Sequence, out_w: int, out_h: int,
+    flips: Optional[np.ndarray] = None, n_threads: int = 4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Threaded batch decode -> ((N, out_h, out_w, 3) float32,
+    orig sizes (N, 2) int32, ok flags (N,) bool)."""
+    lib = _load()
+    assert lib is not None, "native IO library not built (make -C native)"
+    n = len(paths)
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    orig = np.zeros((n, 2), np.int32)
+    ok = np.zeros((n,), np.int32)
+    flips_arr = (
+        np.ascontiguousarray(flips, np.int32)
+        if flips is not None
+        else np.zeros((n, 2), np.int32)
+    )
+    c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    lib.sdnet_load_batch(
+        c_paths, n, out_w, out_h,
+        flips_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        _fptr(_MEAN), _fptr(_STD), _fptr(out),
+        orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads,
+    )
+    return out, orig, ok.astype(bool)

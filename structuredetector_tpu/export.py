@@ -1,0 +1,94 @@
+"""Model export: AOT-serialized inference graph (replaces CoreML export).
+
+The reference exports to CoreML with sigmoid+NMS fused into the graph and
+decode params embedded as metadata
+(`/root/reference/src/sdnet/cli/convert_coreml.py:12-29, :125-133`).
+The TPU-native analog (SURVEY.md §3.5): a `jax.export` StableHLO
+artifact of the jitted forward + fused sigmoid/plateau-NMS head, with
+weights baked in as constants, packaged in a zip with the same metadata
+JSON ({anchors, parts, scale_factor, width, height}). The artifact is
+loadable without the model code and runs on any JAX backend.
+
+Divergence (deliberate, SURVEY.md §7): `evaluate_export` consumes the
+artifact with `ExportDecoder` (no second sigmoid+NMS) — the reference's
+`evaluate_coreml` re-applies both by using the plain `Decoder`
+(`cli/evaluate_coreml.py:125`), a documented inconsistency upstream.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import zipfile
+from pathlib import Path
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .ops.decode import split_head_output
+from .ops.tensor import clamped_sigmoid, plateau_nms
+
+METADATA_NAME = "params.json"
+GRAPH_NAME = "model.stablehlo"
+
+
+def make_export_fn(model, variables, n_labels: int, n_parts: int):
+    """Forward + fused sigmoid/NMS on the heatmap channels; regression
+    channels pass through raw (reference RawDecoder,
+    convert_coreml.py:12-29). Returns the (B, H/4, W/4, M+N+4) map."""
+    nb_hm = n_labels + n_parts
+
+    def fn(image: jax.Array) -> jax.Array:
+        raw = model.apply(variables, image, train=False, raw_output=True)
+        heatmaps = plateau_nms(clamped_sigmoid(raw[..., :nb_hm]))
+        return jnp.concatenate((heatmaps, raw[..., nb_hm:]), axis=-1)
+
+    return fn
+
+
+def export_model(config, variables, path, batch_size: int = 1) -> Path:
+    """Serialize the inference graph + metadata into a `.sdz` zip."""
+    from jax import export as jexport
+
+    from .models.network import build_model
+
+    model = build_model(config)
+    fn = make_export_fn(model, variables, config.n_labels, config.n_parts)
+    x_spec = jax.ShapeDtypeStruct(
+        (batch_size, config.height, config.width, config.in_channels), jnp.float32
+    )
+    exported = jexport.export(jax.jit(fn))(x_spec)
+    graph = exported.serialize()
+
+    metadata = {
+        "anchors": list(config.labels.keys()),
+        "parts": list(config.parts.keys()),
+        "scale_factor": config.down_ratio,
+        "width": config.width,
+        "height": config.height,
+        "anchor_name": config.anchor_name,
+        "batch_size": batch_size,
+        "framework": "structuredetector-tpu",
+        "version": "1",
+    }
+
+    path = Path(path)
+    with zipfile.ZipFile(path, "w", compression=zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr(METADATA_NAME, json.dumps(metadata, indent=2))
+        zf.writestr(GRAPH_NAME, graph)
+    return path
+
+
+def load_exported(path) -> Tuple[Any, Dict[str, Any]]:
+    """Load a `.sdz` artifact -> (callable, metadata)."""
+    from jax import export as jexport
+
+    with zipfile.ZipFile(Path(path)) as zf:
+        metadata = json.loads(zf.read(METADATA_NAME))
+        exported = jexport.deserialize(zf.read(GRAPH_NAME))
+
+    def call(image):
+        return exported.call(jnp.asarray(image, jnp.float32))
+
+    return call, metadata

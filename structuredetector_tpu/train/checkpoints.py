@@ -1,0 +1,88 @@
+"""Checkpointing: full train-state resume + 4-best model policy.
+
+Two tiers (SURVEY.md §5):
+- **Full state** via Orbax `CheckpointManager` (async-capable): params,
+  BN stats, optimizer state, step — enabling exact resume. The reference
+  never saves optimizer/scheduler state (trainer.py / network.py:86-87);
+  this closes that gap.
+- **Best models** as msgpack variable snapshots, reproducing the
+  reference's 4 conditional checkpoints per validation
+  (`trainer.py:226-237`): model_best_loss / model_best_csi /
+  model_best_classif / model_best_kp_reg.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from ..models.network import save_params
+
+
+class CheckpointManager:
+    def __init__(self, directory, max_to_keep: int = 2):
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory / "state",
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, enable_async_checkpointing=True
+            ),
+        )
+
+    def save_state(self, step: int, state) -> None:
+        self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore_state(self, state_like, step: Optional[int] = None):
+        """Restore into the structure of `state_like` (a concrete or
+        abstract TrainState)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, state_like)
+        return self._mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+class BestModelSaver:
+    """Track best loss / CSI / classif / kp-F1 and snapshot variables."""
+
+    def __init__(self, save_dir):
+        self.save_dir = Path(save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.best_loss = float("inf")
+        self.best_csi = 0.0
+        self.best_classif = 0.0
+        self.best_kp_reg = 0.0
+
+    def update(self, variables: Any, *, loss: float, csi_f1: float,
+               classif_f1: float, kp_f1: float) -> list:
+        saved = []
+        if loss < self.best_loss:
+            self.best_loss = loss
+            save_params(variables, self.save_dir / "model_best_loss.msgpack")
+            saved.append("loss")
+        if csi_f1 > self.best_csi:
+            self.best_csi = csi_f1
+            save_params(variables, self.save_dir / "model_best_csi.msgpack")
+            saved.append("csi")
+        if classif_f1 > self.best_classif:
+            self.best_classif = classif_f1
+            save_params(variables, self.save_dir / "model_best_classif.msgpack")
+            saved.append("classif")
+        if kp_f1 > self.best_kp_reg:
+            self.best_kp_reg = kp_f1
+            save_params(variables, self.save_dir / "model_best_kp_reg.msgpack")
+            saved.append("kp_reg")
+        return saved

@@ -1,0 +1,160 @@
+"""Jitted train/eval steps: encode + forward + loss (+ grad/update).
+
+One fused device program per resolution bucket replaces the reference's
+hot loop (`/root/reference/src/sdnet/model/trainer.py:103-135`): target
+encoding (the reference's CPU-worker `Encode`) happens *inside* the
+jitted step, the state is donated (no HBM copies), and under a
+("data", "model") mesh the same program runs SPMD with gradient
+all-reduce over ICI (GSPMD inserts the psum).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.encode import encode_targets
+from ..ops.losses import sdnet_loss
+from ..parallel.mesh import batch_sharding, param_shardings, replicated_sharding
+from .state import TrainState
+
+
+def _encode_batch(kp, config, out_h: int, out_w: int):
+    return encode_targets(
+        kp["anchors_xy"], kp["anchor_cls"], kp["anchor_mask"],
+        kp["parts_xy"], kp["part_kind"], kp["part_owner_xy"], kp["part_mask"],
+        out_h=out_h, out_w=out_w,
+        n_labels=config.n_labels, n_parts=config.n_parts,
+        sigma_gauss=config.sigma_gauss,
+    )
+
+
+def make_train_step(
+    model, config, optimizer, *, out_h: int, out_w: int,
+    mesh=None, state_example: Optional[TrainState] = None, donate: bool = True,
+) -> Callable:
+    """Build `step(state, images, kp_dict) -> (state, stats)` jitted for
+    one static resolution bucket.
+
+    With `mesh`, in/out shardings are attached (batch over "data",
+    variables per `parallel.mesh.param_shardings`); `state_example` (a
+    concrete or abstract TrainState) supplies the pytree structure."""
+
+    def step(state: TrainState, images: jax.Array, kp: Dict[str, jax.Array]):
+        targets = _encode_batch(kp, config, out_h, out_w)
+
+        def loss_fn(params):
+            outputs, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                images, train=True, mutable=["batch_stats"],
+            )
+            loss, stats = sdnet_loss(
+                outputs, targets,
+                hm_loss_fn=config.hm_loss_fn,
+                hm_weight=config.hm_weight,
+                offset_weight=config.offset_weight,
+                embedding_weight=config.embedding_weight,
+            )
+            return loss, (stats, mutated["batch_stats"])
+
+        grads, (stats, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(
+            lambda p, u: (p + u).astype(p.dtype), state.params, updates
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, stats
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    assert state_example is not None, "state_example required with a mesh"
+    rep = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+
+    tree = param_shardings(
+        {"params": state_example.params, "batch_stats": state_example.batch_stats}, mesh
+    )
+    params_sh = tree["params"]
+    params_struct = jax.tree_util.tree_structure(state_example.params)
+
+    def map_opt(opt_state):
+        """Adam moments (param-shaped subtrees) mirror the param
+        shardings; everything else (step counts) replicates."""
+        try:
+            if jax.tree_util.tree_structure(opt_state) == params_struct:
+                return params_sh
+        except Exception:
+            pass
+        if isinstance(opt_state, tuple) and hasattr(opt_state, "_fields"):
+            return type(opt_state)(*(map_opt(getattr(opt_state, f)) for f in opt_state._fields))
+        if isinstance(opt_state, tuple):
+            return type(opt_state)(map_opt(o) for o in opt_state)
+        return jax.tree.map(lambda _: rep, opt_state)
+
+    opt_sh = map_opt(state_example.opt_state)
+
+    st_sh = TrainState(
+        step=rep, params=params_sh, batch_stats=tree["batch_stats"], opt_state=opt_sh
+    )
+    kp_sh = {k: bsh for k in (
+        "anchors_xy", "anchor_cls", "anchor_mask", "parts_xy", "part_kind",
+        "part_owner_xy", "part_mask",
+    )}
+    return jax.jit(
+        step,
+        in_shardings=(st_sh, bsh, kp_sh),
+        out_shardings=(st_sh, rep),
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, config, *, out_h: int, out_w: int) -> Callable:
+    """Jitted validation step: forward (running BN stats) + loss stats +
+    raw output maps for decoding."""
+
+    @jax.jit
+    def step(variables, images: jax.Array, kp: Dict[str, jax.Array]):
+        targets = _encode_batch(kp, config, out_h, out_w)
+        outputs = model.apply(variables, images, train=False)
+        _, stats = sdnet_loss(
+            outputs, targets,
+            hm_loss_fn=config.hm_loss_fn,
+            hm_weight=config.hm_weight,
+            offset_weight=config.offset_weight,
+            embedding_weight=config.embedding_weight,
+        )
+        return outputs, stats
+
+    return step
+
+
+def make_forward(model) -> Callable:
+    """Jitted inference forward."""
+
+    @jax.jit
+    def forward(variables, images: jax.Array):
+        return model.apply(variables, images, train=False)
+
+    return forward
+
+
+def kp_to_device_dict(kp) -> Dict[str, jnp.ndarray]:
+    """FlatKeypoints batch -> dict of device arrays for the steps."""
+    return {
+        "anchors_xy": jnp.asarray(kp.anchors_xy),
+        "anchor_cls": jnp.asarray(kp.anchor_cls),
+        "anchor_mask": jnp.asarray(kp.anchor_mask),
+        "parts_xy": jnp.asarray(kp.parts_xy),
+        "part_kind": jnp.asarray(kp.part_kind),
+        "part_owner_xy": jnp.asarray(kp.part_owner_xy),
+        "part_mask": jnp.asarray(kp.part_mask),
+    }

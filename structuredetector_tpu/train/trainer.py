@@ -1,0 +1,327 @@
+"""Training orchestrator.
+
+Mirrors the reference `Trainer` (`/root/reference/src/sdnet/model/trainer.py:23-309`):
+owns the model, loss, decoder, evaluator, TensorBoard writer, optimizer
+with StepLR-equivalent schedule, train/valid loaders; validates every 2
+epochs; tracks 4 "best" checkpoints; logs loss scalars per step, metric
+groups and debug images per validation; re-rolls the multi-scale input
+size each epoch (`trainer.py:135`).
+
+TPU-first differences:
+- the hot loop is one donated jitted device program per resolution
+  bucket (encode+forward+loss+grad+update fused; see `train.steps`),
+  cached across the 9 multi-scale buckets,
+- data parallelism over a ("data", "model") mesh from day one,
+- full train-state Orbax checkpointing for exact resume (the reference
+  restarts optimization on resume),
+- optional `jax.profiler` trace capture (`--profile`).
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.augment import TrainAugmentation, ValidationAugmentation
+from ..data.dataset import CropDataset
+from ..data.decoders import Decoder
+from ..data.pipeline import Loader
+from ..evaluation import Evaluator
+from ..models import init_model, load_params
+from ..models.torch_bridge import warm_start_encoder
+from ..parallel.mesh import create_mesh
+from .checkpoints import BestModelSaver, CheckpointManager
+from .state import TrainState, create_train_state, make_lr_schedule, make_optimizer
+from .steps import kp_to_device_dict, make_eval_step, make_train_step
+
+
+class MetricsWriter:
+    """TensorBoard writer; silently no-ops if tensorboard is missing."""
+
+    def __init__(self, log_dir=None):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._w = SummaryWriter(log_dir=str(log_dir) if log_dir else None)
+        except Exception:
+            self._w = None
+
+    def scalars(self, tag: str, values: Dict[str, float], step: int):
+        if self._w:
+            self._w.add_scalars(tag, values, step)
+
+    def scalar(self, tag: str, value: float, step: int):
+        if self._w:
+            self._w.add_scalar(tag, value, step)
+
+    def image(self, tag: str, image, step: int):
+        """image: PIL or (H, W, 3) uint8 numpy."""
+        if self._w:
+            arr = np.asarray(image)
+            self._w.add_image(tag, arr, step, dataformats="HWC")
+
+    def flush(self):
+        if self._w:
+            self._w.flush()
+
+    def close(self):
+        if self._w:
+            self._w.close()
+
+
+class Trainer:
+    def __init__(self, config, log: bool = True):
+        self.config = config
+        self.log = log
+
+        self.mesh = create_mesh(config.data_parallel, config.model_parallel)
+        self.model, variables = init_model(config)
+
+        # warm start / resume source (reference trainer.py:45-48)
+        if config.pretrained_model:
+            loaded = load_params(config.pretrained_model)
+            if loaded.pop("encoder_only", False):
+                variables = warm_start_encoder(variables, loaded)
+            else:
+                variables = loaded
+
+        self.decoder = Decoder(config)
+        self.evaluator = Evaluator(config)
+
+        # data (reference trainer.py:58-87)
+        self.train_augmentation = TrainAugmentation(config)
+        self.train_set = CropDataset(config, config.train_dir, self.train_augmentation)
+        self.train_set.localize_image_names()
+        self.train_loader = Loader(
+            self.train_set,
+            batch_size=config.batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_workers=config.num_workers,
+            seed=config.seed,
+        )
+        self.valid_set = CropDataset(
+            config, config.valid_dir, ValidationAugmentation(config)
+        )
+        self.valid_set.localize_image_names()
+        self.valid_loader = Loader(self.valid_set, batch_size=1,
+                                   num_workers=config.num_workers)
+
+        steps_per_epoch = max(1, len(self.train_loader))
+        self.lr_schedule = make_lr_schedule(config, steps_per_epoch)
+        self.optimizer = make_optimizer(config, steps_per_epoch)
+        self.state = create_train_state(config, variables, self.optimizer)
+
+        self.save_dir = Path("trainings") / f"{datetime.now():%Y-%m-%d_%H-%M-%S}"
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.writer = MetricsWriter(self.save_dir / "tb") if log else MetricsWriter.__new__(MetricsWriter)
+        if not log:
+            self.writer._w = None
+        self.checkpoints = CheckpointManager(self.save_dir)
+        self.best_models = BestModelSaver(self.save_dir)
+
+        self.global_step = 0
+        self._train_steps: Dict[Tuple[int, int], object] = {}
+        self._eval_step = None
+        self._profiled = False
+
+    # -- step caches (one compiled program per resolution bucket) -------
+
+    def _train_step_for(self, h: int, w: int):
+        key = (h, w)
+        if key not in self._train_steps:
+            out_h = int(h / self.config.down_ratio)
+            out_w = int(w / self.config.down_ratio)
+            self._train_steps[key] = make_train_step(
+                self.model, self.config, self.optimizer,
+                out_h=out_h, out_w=out_w,
+                mesh=self.mesh, state_example=self.state,
+            )
+        return self._train_steps[key]
+
+    def _eval_step_fn(self):
+        if self._eval_step is None:
+            out_w, out_h = self.config.grid_size()
+            self._eval_step = make_eval_step(
+                self.model, self.config, out_h=out_h, out_w=out_w
+            )
+        return self._eval_step
+
+    # -- loops ----------------------------------------------------------
+
+    def train(self):
+        """Epoch loop (reference trainer.py:94-101): validate every 2
+        epochs, flush logs, checkpoint latest state each epoch."""
+        from tqdm import tqdm
+
+        for epoch in tqdm(range(self.config.epochs), desc="Training", unit="epoch"):
+            self.train_epoch(epoch)
+            if epoch % 2 == 0:
+                self.valid()
+            self.checkpoints.save_state(
+                self.global_step, jax.device_get(self.state)
+            )
+            self.writer.flush()
+        self.checkpoints.wait()
+        self.writer.close()
+
+    def train_epoch(self, epoch: int = 0):
+        from tqdm import tqdm
+
+        cfg = self.config
+        w, h = self.train_augmentation.current_size
+        step_fn = self._train_step_for(h, w)
+
+        profile_this = cfg.profile and not self._profiled
+
+        for i, batch in enumerate(
+            tqdm(self.train_loader, desc="Epoch", leave=False, unit="batch")
+        ):
+            if profile_this and i == 5:
+                jax.profiler.start_trace(str(self.save_dir / "profile"))
+            images = jnp.asarray(batch["image"])
+            kp = kp_to_device_dict(batch["keypoints"])
+            self.state, stats = step_fn(self.state, images, kp)
+            if profile_this and i == 10:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                self._profiled = True
+                profile_this = False
+
+            if self.log and i % 10 == 0:
+                host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+                self.writer.scalars("Loss/Train", host_stats, self.global_step)
+            self.global_step += cfg.batch_size
+
+        self.writer.scalar(
+            "Learning rate", float(self.lr_schedule(int(self.state.step))),
+            self.global_step,
+        )
+        # multi-scale re-roll for next epoch (trainer.py:135)
+        self.train_augmentation.trigger_random_resize()
+
+    def valid(self) -> Dict[str, float]:
+        """Validation pass (reference trainer.py:137-309): loss + decode
+        + metric accumulation per image, 4-best checkpointing, TB
+        scalars and debug images."""
+        from tqdm import tqdm
+
+        cfg = self.config
+        self.evaluator.reset()
+        eval_step = self._eval_step_fn()
+        variables = self.state.variables
+
+        loss_sums: Dict[str, float] = {}
+        n = 0
+        last = None
+
+        for batch in tqdm(self.valid_loader, desc="Validation", leave=False,
+                          unit="image"):
+            images = jnp.asarray(batch["image"])
+            kp = kp_to_device_dict(batch["keypoints"])
+            outputs, stats = eval_step(variables, images, kp)
+
+            data = self.decoder(outputs, return_metadata=True)
+            prediction = data["annotation"][0]
+            annotation = batch["annotation"][0]
+            self.evaluator.accumulate(
+                prediction, annotation, data["raw_parts"][0],
+                eval_csi=True, eval_classif=True,
+            )
+            for k, v in jax.device_get(stats).items():
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
+            n += 1
+            last = (batch, data, prediction, annotation)
+
+        loss_avg = {k: v / max(n, 1) for k, v in loss_sums.items()}
+        summary = self.evaluator.scalar_summary()
+
+        saved = self.best_models.update(
+            jax.device_get(variables),
+            loss=loss_avg.get("total_loss", float("inf")),
+            csi_f1=summary.get("csi/f1_total", 0.0),
+            classif_f1=summary.get("classif/f1_total", 0.0),
+            kp_f1=summary.get("kps/f1_total", 0.0),
+        )
+
+        if self.log:
+            self.writer.scalars("Loss/Validation", loss_avg, self.global_step)
+            for tag, prefix in (
+                ("Metrics_AllKps", "kps"), ("Metrics_Anchor", "anchor"),
+                ("Metrics_Parts", "part"),
+            ):
+                for metric in ("f1", "precision", "recall"):
+                    vals = {
+                        k.split("/", 1)[1].replace(f"{metric}_", ""): v
+                        for k, v in summary.items()
+                        if k.startswith(f"{prefix}/{metric}")
+                    }
+                    if vals:
+                        self.writer.scalars(f"{tag}/{metric}", vals, self.global_step)
+            self.writer.scalars(
+                "Metrics_CSI/f1",
+                {k.split("_", 1)[1]: v for k, v in summary.items()
+                 if k.startswith("csi/f1")},
+                self.global_step,
+            )
+            self.writer.scalars(
+                "Metrics_Classif/f1",
+                {"total": summary.get("classif/f1_total", 0.0)}, self.global_step,
+            )
+            if last is not None:
+                self._log_debug_images(*last)
+
+        return summary
+
+    def _log_debug_images(self, batch, data, prediction, annotation):
+        """The reference's 7 debug panels (trainer.py:257-309)."""
+        from .. import visualization as viz
+
+        image = np.asarray(batch["image"][0])
+        step = self.global_step
+        cfg = self.config
+        try:
+            self.writer.image(
+                "Detections/Ground_Truth", viz.draw(image, annotation, cfg), step
+            )
+            self.writer.image(
+                "Detections/Prediction", viz.draw(image, prediction, cfg), step
+            )
+            a_hm, p_hm = viz.draw_heatmaps(
+                np.asarray(data["anchor_hm_sig"][0]),
+                np.asarray(data["part_hm_sig"][0]), cfg,
+            )
+            self.writer.image("Heatmaps/Predictions/Anchors", a_hm, step)
+            self.writer.image("Heatmaps/Predictions/Parts", p_hm, step)
+            self.writer.image(
+                "Other/Raw_Predictions",
+                viz.draw_kp_and_emb(
+                    image, np.asarray(data["anchors"][0]),
+                    np.asarray(data["parts"][0]), cfg,
+                ),
+                step,
+            )
+            self.writer.image(
+                "Other/Raw_Embeddings",
+                viz.draw_embeddings(image, np.asarray(data["raw_embeddings"][0]), cfg),
+                step,
+            )
+        except Exception:  # drawing must never kill training
+            pass
+
+    # -- resume ----------------------------------------------------------
+
+    def resume(self) -> bool:
+        """Restore the latest full train state from this run's dir."""
+        restored = self.checkpoints.restore_state(jax.device_get(self.state))
+        if restored is None:
+            return False
+        self.state = jax.device_put(restored)
+        self.global_step = int(self.state.step) * self.config.batch_size
+        return True

@@ -6,6 +6,8 @@ a TPU slice via XLA's fake host devices, per SURVEY.md §4.
 
 import os
 
+# The environment pre-imports jax with a TPU (axon) platform plugin that
+# ignores JAX_PLATFORMS; jax.config still wins if set before backend init.
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
@@ -13,8 +15,15 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "tests expect 8 fake CPU devices"
 
 
 @pytest.fixture

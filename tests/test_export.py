@@ -1,0 +1,58 @@
+"""Export artifact: serialize, reload, numerical equivalence
+(reference export path parity, SURVEY.md §3.5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from structuredetector_tpu.config import Config
+from structuredetector_tpu.export import export_model, load_exported, make_export_fn
+from structuredetector_tpu.models import init_model
+from structuredetector_tpu.models.network import build_model
+from structuredetector_tpu.ops.decode import split_head_output
+from structuredetector_tpu.ops.tensor import clamped_sigmoid, plateau_nms
+
+
+def make_config():
+    cfg = Config(width=32, height=32, fpn_depth=16, max_objects=2, max_parts=4,
+                 use_amp=False)
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    return cfg
+
+
+def test_export_roundtrip(tmp_path):
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    path = export_model(cfg, variables, tmp_path / "model.sdz", batch_size=2)
+    assert path.exists()
+
+    call, meta = load_exported(path)
+    assert meta["anchors"] == ["bean", "maize"]
+    assert meta["parts"] == ["leaf"]
+    assert meta["width"] == 32 and meta["scale_factor"] == 4.0
+
+    x = np.random.default_rng(0).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(call(x))
+
+    # reference result: forward + fused sigmoid/NMS on heatmaps
+    fn = make_export_fn(build_model(cfg), variables, cfg.n_labels, cfg.n_parts)
+    want = np.asarray(fn(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+    # heatmap channels are probabilities post-NMS; regression channels raw
+    assert got[..., :3].min() >= 0.0 and got[..., :3].max() <= 1.0
+    d = split_head_output(jnp.asarray(got), 2, 1)
+    assert d["offsets"].shape == (2, 8, 8, 2)
+
+
+def test_export_fn_fuses_sigmoid_nms():
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    fn = make_export_fn(build_model(cfg), variables, cfg.n_labels, cfg.n_parts)
+    x = jnp.zeros((1, 32, 32, 3))
+    out = fn(x)
+    raw = model.apply(variables, x, train=False, raw_output=True)
+    want_hm = plateau_nms(clamped_sigmoid(raw[..., :3]))
+    np.testing.assert_allclose(np.asarray(out[..., :3]), np.asarray(want_hm), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[..., 3:]), np.asarray(raw[..., 3:]), atol=1e-6)

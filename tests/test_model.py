@@ -51,9 +51,10 @@ def test_resnet34_param_count():
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
     enc = variables["params"]["encoder"]
     n = sum(x.size for x in jax.tree.leaves(enc))
-    # torchvision resnet34: 21,284,672 params minus fc (513000) = 20,771,672;
-    # BN scale+bias included in both.
-    assert n == 21_284_672 - 513_000
+    # torchvision resnet34 totals 21,797,672 params; minus the fc head
+    # (512*1000+1000 = 513,000) the conv trunk is 21,284,672 (incl. BN
+    # scale+bias, excl. running stats).
+    assert n == 21_284_672
 
 
 def test_bridge_roundtrip(tiny_config):

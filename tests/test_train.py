@@ -1,0 +1,141 @@
+"""Training machinery: schedule, state, steps, checkpoints, overfit smoke."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from structuredetector_tpu.config import Config
+from structuredetector_tpu.models import init_model
+from structuredetector_tpu.train.checkpoints import BestModelSaver, CheckpointManager
+from structuredetector_tpu.train.state import (
+    create_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
+from structuredetector_tpu.train.steps import make_eval_step, make_train_step
+
+
+def make_config(**kw):
+    kw = {"width": 32, "height": 32, "max_objects": 2, "max_parts": 4,
+          "fpn_depth": 16, "batch_size": 2, "use_amp": False, "epochs": 9,
+          "lr_step": 3, "learning_rate": 1e-3}.copy() | kw
+    cfg = Config(**kw)
+    cfg.set_labels(["bean"], ["leaf"])
+    return cfg
+
+
+def test_lr_schedule_steplr_semantics():
+    """StepLR(step=epochs//lr_step, gamma=0.1): /10 at epochs 3 and 6
+    (reference trainer.py:54-56, args.py:213-215)."""
+    cfg = make_config()
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(29)) == pytest.approx(1e-3)
+    assert float(sched(30)) == pytest.approx(1e-4)
+    assert float(sched(60)) == pytest.approx(1e-5, rel=1e-4)
+
+
+def test_lr_step_zero_disables_decay():
+    cfg = make_config(lr_step=0)
+    sched = make_lr_schedule(cfg, steps_per_epoch=10)
+    assert float(sched(80)) == pytest.approx(1e-3)
+
+
+def test_lr_step_exceeding_epochs_is_constant():
+    """epochs < lr_step -> step size 0 -> constant LR (must not hang)."""
+    cfg = make_config(epochs=2, lr_step=3)
+    sched = make_lr_schedule(cfg, steps_per_epoch=3)
+    assert float(sched(5)) == pytest.approx(1e-3)
+
+
+def _batch(cfg, b=2, seed=0):
+    rng = np.random.default_rng(seed)
+    o, p = cfg.max_objects, cfg.max_parts
+    g = cfg.grid_size()[0]
+    kp = {
+        "anchors_xy": jnp.asarray(rng.uniform(1, g - 1, (b, o, 2)), jnp.float32),
+        "anchor_cls": jnp.zeros((b, o), jnp.int32),
+        "anchor_mask": jnp.ones((b, o), bool),
+        "parts_xy": jnp.asarray(rng.uniform(1, g - 1, (b, p, 2)), jnp.float32),
+        "part_kind": jnp.zeros((b, p), jnp.int32),
+        "part_owner_xy": jnp.asarray(rng.uniform(1, g - 1, (b, p, 2)), jnp.float32),
+        "part_mask": jnp.ones((b, p), bool),
+    }
+    images = jnp.asarray(rng.normal(0, 1, (b, cfg.height, cfg.width, 3)), jnp.float32)
+    return images, kp
+
+
+def test_overfit_smoke():
+    """A few steps on one fixed batch must reduce the loss (SURVEY.md §4
+    overfit smoke test)."""
+    cfg = make_config(learning_rate=1e-3, hm_loss_fn="mse")
+    model, variables = init_model(cfg)
+    opt = make_optimizer(cfg, steps_per_epoch=1000)
+    state = create_train_state(cfg, variables, opt)
+    step = make_train_step(model, cfg, opt, out_h=8, out_w=8, donate=False)
+
+    images, kp = _batch(cfg)
+    losses = []
+    for _ in range(20):
+        state, stats = step(state, images, kp)
+        losses.append(float(stats["total_loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses
+    assert int(state.step) == 20
+
+
+def test_train_step_updates_batch_stats():
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    opt = make_optimizer(cfg, 10)
+    state = create_train_state(cfg, variables, opt)
+    step = make_train_step(model, cfg, opt, out_h=8, out_w=8, donate=False)
+    images, kp = _batch(cfg)
+    new_state, _ = step(state, images, kp)
+    old = np.asarray(state.batch_stats["encoder"]["bn1"]["mean"])
+    new = np.asarray(new_state.batch_stats["encoder"]["bn1"]["mean"])
+    assert not np.allclose(old, new)
+
+
+def test_eval_step_returns_outputs_and_stats():
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    eval_step = make_eval_step(model, cfg, out_h=8, out_w=8)
+    images, kp = _batch(cfg)
+    outputs, stats = eval_step(variables, images, kp)
+    assert outputs["anchor_hm"].shape == (2, 8, 8, 1)
+    assert np.isfinite(float(stats["total_loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    opt = make_optimizer(cfg, 10)
+    state = create_train_state(cfg, variables, opt)
+
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save_state(5, jax.device_get(state))
+    mgr.wait()
+    assert mgr.latest_step() == 5
+    restored = mgr.restore_state(jax.device_get(state))
+    np.testing.assert_allclose(
+        np.asarray(restored.params["head"]["bias"]),
+        np.asarray(state.params["head"]["bias"]),
+    )
+    assert int(restored.step) == 0
+    mgr.close()
+
+
+def test_best_model_saver(tmp_path):
+    cfg = make_config()
+    _, variables = init_model(cfg)
+    saver = BestModelSaver(tmp_path)
+    saved = saver.update(variables, loss=1.0, csi_f1=0.5, classif_f1=0.2, kp_f1=0.7)
+    assert set(saved) == {"loss", "csi", "classif", "kp_reg"}
+    assert (tmp_path / "model_best_loss.msgpack").exists()
+    # worse values -> nothing saved
+    saved = saver.update(variables, loss=2.0, csi_f1=0.4, classif_f1=0.1, kp_f1=0.6)
+    assert saved == []
+    # partial improvement
+    saved = saver.update(variables, loss=0.5, csi_f1=0.4, classif_f1=0.9, kp_f1=0.6)
+    assert set(saved) == {"loss", "classif"}
