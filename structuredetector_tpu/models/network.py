@@ -58,7 +58,7 @@ class FpnBlock(nn.Module):
         )(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn",
+            dtype=jnp.float32 if train else self.dtype, name="bn",
         )(y)
         return nn.relu(y)
 

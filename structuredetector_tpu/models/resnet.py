@@ -41,7 +41,7 @@ class BasicBlock(nn.Module):
         )(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn1",
+            dtype=jnp.float32 if train else self.dtype, name="bn1",
         )(y)
         y = nn.relu(y)
         y = nn.Conv(
@@ -50,7 +50,7 @@ class BasicBlock(nn.Module):
         )(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn2",
+            dtype=jnp.float32 if train else self.dtype, name="bn2",
         )(y)
 
         if self.stride != 1 or identity.shape[-1] != self.filters:
@@ -60,7 +60,7 @@ class BasicBlock(nn.Module):
             )(identity)
             identity = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=jnp.float32, name="downsample_bn",
+                dtype=jnp.float32 if train else self.dtype, name="downsample_bn",
             )(identity)
 
         return nn.relu(y + identity.astype(y.dtype))
@@ -82,7 +82,7 @@ class ResNet34Encoder(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn1",
+            dtype=jnp.float32 if train else self.dtype, name="bn1",
         )(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1)

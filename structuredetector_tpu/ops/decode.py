@@ -57,6 +57,7 @@ def decode_feature_maps(
     dist_thresh: float,
     apply_sigmoid_nms: bool = True,
     nms_fn=None,
+    with_metadata: bool = True,
 ) -> Dict[str, jax.Array]:
     """Decode head output maps into fixed-shape detection arrays.
 
@@ -81,13 +82,16 @@ def decode_feature_maps(
 
     if apply_sigmoid_nms:
         front = nms_fn if nms_fn is not None else lambda x: plateau_nms(clamped_sigmoid(x))
-        anchor_hm_sig = clamped_sigmoid(outputs["anchor_hm"].astype(jnp.float32))
-        part_hm_sig = clamped_sigmoid(outputs["part_hm"].astype(jnp.float32))
         anchor_hm = front(outputs["anchor_hm"].astype(jnp.float32))
         part_hm = front(outputs["part_hm"].astype(jnp.float32))
+        if with_metadata:
+            anchor_hm_sig = clamped_sigmoid(outputs["anchor_hm"].astype(jnp.float32))
+            part_hm_sig = clamped_sigmoid(outputs["part_hm"].astype(jnp.float32))
     else:
-        anchor_hm = anchor_hm_sig = outputs["anchor_hm"].astype(jnp.float32)
-        part_hm = part_hm_sig = outputs["part_hm"].astype(jnp.float32)
+        anchor_hm = outputs["anchor_hm"].astype(jnp.float32)
+        part_hm = outputs["part_hm"].astype(jnp.float32)
+        if with_metadata:
+            anchor_hm_sig, part_hm_sig = anchor_hm, part_hm
 
     # Anchors (decoders.py:44-57)
     anchor_scores, anchor_inds, anchor_labels, anchor_ys, anchor_xs = _topk_with_offsets(
@@ -126,14 +130,18 @@ def decode_feature_maps(
     part_parent = jnp.argmin(distance, axis=1).astype(jnp.int32)  # (B, P)
     part_valid = min_vals < (dist_thresh * min(out_w, out_h))
 
-    return {
+    out = {
         "anchors": anchors,
         "parts": parts,
         "part_parent": part_parent,
         "part_valid": part_valid,
-        "anchor_hm_sig": anchor_hm_sig,
-        "part_hm_sig": part_hm_sig,
-        "embeddings": embeddings,
-        "anchor_inds": anchor_inds,
-        "part_inds": part_inds,
     }
+    if with_metadata:
+        out.update(
+            anchor_hm_sig=anchor_hm_sig,
+            part_hm_sig=part_hm_sig,
+            embeddings=embeddings,
+            anchor_inds=anchor_inds,
+            part_inds=part_inds,
+        )
+    return out
