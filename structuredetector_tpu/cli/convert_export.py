@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument("--anchor_name", type=str, default="anchor")
     p.add_argument("--batch_size", "-b", type=int, default=1,
                    help="Static batch size baked into the artifact.")
+    p.add_argument("--norm", action="store_true",
+                   help="Fold ImageNet normalization into the graph: the "
+                        "exported model consumes raw [0,255] RGB "
+                        "(reference convert_coreml.py:105-111).")
     return p.parse_args(argv)
 
 
@@ -45,7 +49,8 @@ def main(argv=None):
     config.validate()
 
     variables = load_params(Path(args.model).expanduser().resolve())
-    out = export_model(config, variables, args.output, batch_size=args.batch_size)
+    out = export_model(config, variables, args.output, batch_size=args.batch_size,
+                       fold_normalization=args.norm)
     print(f"Exported to {out}")
 
 

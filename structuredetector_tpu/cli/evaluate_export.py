@@ -16,7 +16,8 @@ import jax.numpy as jnp
 from tqdm import tqdm
 
 from ..config import Config
-from ..data import CropDataset, ExportDecoder, Loader, ValidationAugmentation
+from ..data import (CropDataset, ExportDecoder, ExportTransforms, Loader,
+                    ValidationAugmentation)
 from ..evaluation import Evaluator
 from ..export import load_exported
 from ..ops.decode import split_head_output
@@ -57,7 +58,11 @@ def main(argv=None):
 
     evaluator = Evaluator(config)
     decoder = ExportDecoder(config)
-    dataset = CropDataset(config, config.valid_dir, ValidationAugmentation(config))
+    transform = (
+        ExportTransforms(config) if meta.get("normalized") else
+        ValidationAugmentation(config)
+    )
+    dataset = CropDataset(config, config.valid_dir, transform)
     loader = Loader(dataset, batch_size=meta.get("batch_size", 1),
                     num_workers=config.num_workers)
 

@@ -69,6 +69,12 @@ class Config:
 
     seed: int = DEFAULT_SEED
     num_workers: int = 0  # host-side prefetch threads (0 = synchronous)
+    # Native C++ IO fast path (fused decode+resize+normalize; see
+    # native/sdnet_io.cpp). Off by default: its bilinear resampling
+    # differs slightly from PIL's, which matters for strict eval parity.
+    native_io: bool = False
+    debug_nans: bool = False  # enable jax_debug_nans (SURVEY.md §5)
+    resume_dir: Optional[Path] = None  # trainings/<ts> dir to resume from
 
     # label maps, filled by `finalize()`
     labels: Dict[str, int] = dataclasses.field(default_factory=dict)
@@ -259,6 +265,14 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--num_workers", type=int, default=d.num_workers,
                    help="Host-side data prefetch threads.")
+    p.add_argument("--native_io", action="store_true",
+                   help="Use the native C++ image loader (fused decode+resize"
+                        "+normalize; requires native/libsdnet_io.so).")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="Enable jax_debug_nans for fault isolation.")
+    p.add_argument("--resume", dest="resume_dir", type=str, default=None,
+                   help="Resume training from a previous trainings/<ts> dir "
+                        "(restores params, optimizer state, and step).")
     return p
 
 
@@ -298,7 +312,14 @@ def config_from_args(argv=None) -> Config:
         profile=ns.profile,
         seed=ns.seed,
         num_workers=ns.num_workers,
+        native_io=ns.native_io,
+        debug_nans=ns.debug_nans,
+        resume_dir=_opt_path(ns.resume_dir),
     )
+    if cfg.debug_nans:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     return cfg.finalize()
 
 

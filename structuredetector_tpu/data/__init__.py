@@ -6,6 +6,7 @@ from .augment import (  # noqa: F401
     RandomHorizontalFlip,
     RandomVerticalFlip,
     Resize,
+    ExportTransforms,
     PredictionTransformation,
     TrainAugmentation,
     ValidationAugmentation,

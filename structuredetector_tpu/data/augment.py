@@ -225,8 +225,48 @@ class TrainAugmentation:
 
 class ValidationAugmentation:
     def __init__(self, config):
+        self.config = config
         self.transform = Compose(
             [Resize((config.width, config.height)), Normalize(), Flatten(config)]
+        )
+
+    def __call__(self, image, target):
+        return self.transform(image, target)
+
+    def native_apply(self, image_path, target: ImageAnnotation):
+        """Native fast path: fused C++ decode+resize+normalize, then the
+        same annotation resize + flatten as the PIL path."""
+        from . import native
+
+        cfg = self.config
+        arr, orig_size = native.load_image(image_path, cfg.width, cfg.height)
+        target.img_size = orig_size
+        annotation = target.resized(orig_size, (cfg.width, cfg.height))
+        return Flatten(cfg)(arr, annotation)
+
+
+class RawImage:
+    """PIL -> float32 HWC in [0, 255], no normalization — for exported
+    graphs with folded normalization (reference CoreMLTransforms,
+    transforms.py:289-304)."""
+
+    def __call__(self, image, target=None):
+        arr = np.asarray(image, np.float32)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if target is None:
+            return arr
+        return arr, target
+
+
+class ExportTransforms:
+    """Resize -> raw image -> Flatten, for evaluating exported models
+    whose graph performs its own normalization (CoreMLTransforms
+    analog, transforms.py:289-304)."""
+
+    def __init__(self, config):
+        self.transform = Compose(
+            [Resize((config.width, config.height)), RawImage(), Flatten(config)]
         )
 
     def __call__(self, image, target):

@@ -48,6 +48,17 @@ class CropDataset:
 
     def __getitem__(self, index):
         annotation = ImageAnnotation.from_json(self.files[index], self.config.anchor_name)
+
+        if (
+            getattr(self.config, "native_io", False)
+            and self.transform is not None
+            and hasattr(self.transform, "native_apply")
+        ):
+            from . import native
+
+            if native.available():
+                return self.transform.native_apply(annotation.image_path, annotation)
+
         image = Image.open(annotation.image_path)
         if image.mode != "RGB":
             image = image.convert("RGB")
@@ -63,6 +74,40 @@ class CropDataset:
             annotation = ImageAnnotation.from_json(file, self.config.anchor_name)
             annotation.image_path = file.parent / annotation.image_name
             annotation.save_json(file.parent)
+
+    def part_count_histogram(self):
+        """Per-label part-count histogram as {label: {n_parts: count}}
+        (the data behind the reference's altair `histogram()`,
+        dataset.py:133-165, without the plotting dependency)."""
+        hist: dict = defaultdict(lambda: defaultdict(int))
+        for file in self.files:
+            annotation = ImageAnnotation.from_json(file, self.config.anchor_name)
+            for obj in annotation.objects:
+                hist[obj.name][obj.nb_parts] += 1
+        return {k: dict(v) for k, v in hist.items()}
+
+    def histogram(self):
+        """Render the part-count histogram with altair (optional dep,
+        like the reference's inline import, dataset.py:134-135)."""
+        import altair as alt
+        import pandas as pd
+
+        data = [
+            {"label": label, "parts": n, "count": c}
+            for label, counts in self.part_count_histogram().items()
+            for n, c in counts.items()
+        ]
+        df = pd.DataFrame(data)
+        charts = [
+            alt.Chart(df[df.label == label], width=600, height=400)
+            .mark_rect()
+            .encode(alt.X("parts:O"), alt.Y("count:Q"))
+            for label in df.label.unique()
+        ]
+        combined = charts[0]
+        for c in charts[1:]:
+            combined = combined | c
+        combined.show()
 
     def stats(self) -> "DatasetStats":
         s = DatasetStats()

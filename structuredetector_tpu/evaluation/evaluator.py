@@ -459,6 +459,59 @@ class Evaluator:
                     res.acc.append(best_dist / min(img_size))
         return result
 
+    def eval_classif_strict(self, prediction, annotation) -> Evaluations:
+        """Stricter classification variant (the reference's unused
+        `eval_classif_2`, evaluator.py:476-536): match against *all* GT
+        objects by distance regardless of bucket, require the label to
+        agree, and record part-count confusion pairs in `count_errors`
+        (feeding `Evaluation.save_conf_matrix`). TP only when the part
+        count also agrees."""
+        prediction, annotation, dist_thresh, img_size = self._resize_pair(
+            prediction, annotation
+        )
+        key = lambda o: f"{o.name}_{o.nb_parts}"
+        preds = dict_grouping(prediction.objects, key=key)
+        gts_by_label = dict_grouping(annotation.objects, key=key)
+        gts = annotation.objects
+        visited = [False] * len(gts)
+
+        labels = self.get_classification_labels()
+        result = Evaluations(labels)
+        for label in labels:
+            res = result[label]
+            preds_label = preds.get(label, [])
+            res.ndet = len(preds_label)
+            res.npos = len(gts_by_label.get(label, []))
+
+            preds_label = sorted(preds_label, key=lambda o: o.anchor.score, reverse=True)
+            for pred in preds_label:
+                best_dist = sys.float_info.max
+                idx_best = None
+                for i, gt in enumerate(gts):
+                    d = pred.distance(gt)
+                    if d < best_dist:
+                        best_dist = d
+                        idx_best = i
+                if (
+                    idx_best is None
+                    or best_dist > dist_thresh
+                    or visited[idx_best]
+                    or pred.name not in gts[idx_best].name
+                ):
+                    continue
+                if pred.nb_parts != gts[idx_best].nb_parts:
+                    res.count_errors.append(
+                        (pred.name, pred.nb_parts, gts[idx_best].nb_parts)
+                    )
+                    continue
+                visited[idx_best] = True
+                res.tp += 1
+                res.acc.append(best_dist / min(img_size))
+                res.count_errors.append(
+                    (pred.name, pred.nb_parts, gts[idx_best].nb_parts)
+                )
+        return result
+
     @staticmethod
     def compute_csi(prediction, target, dist_thresh) -> float:
         """Structural CSI of one predicted/GT object pair

@@ -33,13 +33,25 @@ METADATA_NAME = "params.json"
 GRAPH_NAME = "model.stablehlo"
 
 
-def make_export_fn(model, variables, n_labels: int, n_parts: int):
+def make_export_fn(model, variables, n_labels: int, n_parts: int,
+                   fold_normalization: bool = False):
     """Forward + fused sigmoid/NMS on the heatmap channels; regression
     channels pass through raw (reference RawDecoder,
-    convert_coreml.py:12-29). Returns the (B, H/4, W/4, M+N+4) map."""
+    convert_coreml.py:12-29). Returns the (B, H/4, W/4, M+N+4) map.
+
+    With `fold_normalization`, the graph consumes raw [0, 255] RGB and
+    performs the /255 + ImageNet mean/std normalization itself — the
+    analog of the reference folding scale/bias into the CoreML input
+    (convert_coreml.py:105-111)."""
     nb_hm = n_labels + n_parts
 
     def fn(image: jax.Array) -> jax.Array:
+        if fold_normalization:
+            from .data.augment import IMAGENET_MEAN, IMAGENET_STD
+
+            image = (image / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
+                IMAGENET_STD
+            )
         raw = model.apply(variables, image, train=False, raw_output=True)
         heatmaps = plateau_nms(clamped_sigmoid(raw[..., :nb_hm]))
         return jnp.concatenate((heatmaps, raw[..., nb_hm:]), axis=-1)
@@ -47,14 +59,16 @@ def make_export_fn(model, variables, n_labels: int, n_parts: int):
     return fn
 
 
-def export_model(config, variables, path, batch_size: int = 1) -> Path:
+def export_model(config, variables, path, batch_size: int = 1,
+                 fold_normalization: bool = False) -> Path:
     """Serialize the inference graph + metadata into a `.sdz` zip."""
     from jax import export as jexport
 
     from .models.network import build_model
 
     model = build_model(config)
-    fn = make_export_fn(model, variables, config.n_labels, config.n_parts)
+    fn = make_export_fn(model, variables, config.n_labels, config.n_parts,
+                        fold_normalization=fold_normalization)
     x_spec = jax.ShapeDtypeStruct(
         (batch_size, config.height, config.width, config.in_channels), jnp.float32
     )
@@ -69,6 +83,7 @@ def export_model(config, variables, path, batch_size: int = 1) -> Path:
         "height": config.height,
         "anchor_name": config.anchor_name,
         "batch_size": batch_size,
+        "normalized": fold_normalization,
         "framework": "structuredetector-tpu",
         "version": "1",
     }

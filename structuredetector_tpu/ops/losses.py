@@ -78,6 +78,31 @@ def masked_l1_loss(
     return jnp.where(numel == 0, 0.0, total / jnp.maximum(numel, 1.0))
 
 
+def masked_smooth_l1_loss(
+    feat: jax.Array, target: jax.Array, inds: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Masked gathered smooth-L1 (reference SmoothL1Loss, loss.py:67-76,
+    an unused alternate): huber(beta=1) on masked preds/targets, summed,
+    normalized by mask element count (mask broadcast over both coords)
+    with the reference's +1e-7 stabilizer."""
+    preds = gather_features(feat, inds).astype(jnp.float32)
+    m = mask[..., None].astype(jnp.float32) * jnp.ones_like(preds)
+    diff = jnp.abs(preds * m - target.astype(jnp.float32) * m)
+    loss = jnp.sum(jnp.where(diff < 1.0, 0.5 * diff**2, diff - 0.5))
+    return loss / (jnp.sum(m) + 1e-7)
+
+
+def masked_l2_loss(
+    feat: jax.Array, target: jax.Array, inds: jax.Array, mask: jax.Array
+) -> jax.Array:
+    """Masked gathered MSE (reference L2Loss, loss.py:79-88, an unused
+    alternate): sum of squared masked residuals / mask element count."""
+    preds = gather_features(feat, inds).astype(jnp.float32)
+    m = mask[..., None].astype(jnp.float32) * jnp.ones_like(preds)
+    loss = jnp.sum((preds * m - target.astype(jnp.float32) * m) ** 2)
+    return loss / (jnp.sum(m) + 1e-7)
+
+
 def sdnet_loss(
     outputs: Dict[str, jax.Array],
     targets: EncodedTargets,

@@ -132,7 +132,8 @@ def make_eval_step(model, config, *, out_h: int, out_w: int) -> Callable:
             offset_weight=config.offset_weight,
             embedding_weight=config.embedding_weight,
         )
-        return outputs, stats
+        gt_maps = {"anchor_hm": targets.anchor_hm, "part_hm": targets.part_hm}
+        return outputs, stats, gt_maps
 
     return step
 

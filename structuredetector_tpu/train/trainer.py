@@ -118,8 +118,12 @@ class Trainer:
         self.optimizer = make_optimizer(config, steps_per_epoch)
         self.state = create_train_state(config, variables, self.optimizer)
 
-        self.save_dir = Path("trainings") / f"{datetime.now():%Y-%m-%d_%H-%M-%S}"
-        self.save_dir.mkdir(parents=True, exist_ok=True)
+        if config.resume_dir:
+            self.save_dir = Path(config.resume_dir)
+            assert self.save_dir.exists(), f"resume dir {self.save_dir} not found"
+        else:
+            self.save_dir = Path("trainings") / f"{datetime.now():%Y-%m-%d_%H-%M-%S}"
+            self.save_dir.mkdir(parents=True, exist_ok=True)
         self.writer = MetricsWriter(self.save_dir / "tb") if log else MetricsWriter.__new__(MetricsWriter)
         if not log:
             self.writer._w = None
@@ -159,6 +163,10 @@ class Trainer:
         """Epoch loop (reference trainer.py:94-101): validate every 2
         epochs, flush logs, checkpoint latest state each epoch."""
         from tqdm import tqdm
+
+        if self.config.resume_dir:
+            if self.resume():
+                print(f"Resumed from step {int(self.state.step)}")
 
         for epoch in tqdm(range(self.config.epochs), desc="Training", unit="epoch"):
             self.train_epoch(epoch)
@@ -225,7 +233,7 @@ class Trainer:
                           unit="image"):
             images = jnp.asarray(batch["image"])
             kp = kp_to_device_dict(batch["keypoints"])
-            outputs, stats = eval_step(variables, images, kp)
+            outputs, stats, gt_maps = eval_step(variables, images, kp)
 
             data = self.decoder(outputs, return_metadata=True)
             prediction = data["annotation"][0]
@@ -237,7 +245,7 @@ class Trainer:
             for k, v in jax.device_get(stats).items():
                 loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
             n += 1
-            last = (batch, data, prediction, annotation)
+            last = (batch, data, prediction, annotation, gt_maps)
 
         loss_avg = {k: v / max(n, 1) for k, v in loss_sums.items()}
         summary = self.evaluator.scalar_summary()
@@ -279,7 +287,7 @@ class Trainer:
 
         return summary
 
-    def _log_debug_images(self, batch, data, prediction, annotation):
+    def _log_debug_images(self, batch, data, prediction, annotation, gt_maps):
         """The reference's 7 debug panels (trainer.py:257-309)."""
         from .. import visualization as viz
 
@@ -287,6 +295,12 @@ class Trainer:
         step = self.global_step
         cfg = self.config
         try:
+            gt_a, gt_p = viz.draw_heatmaps(
+                np.asarray(gt_maps["anchor_hm"][0]),
+                np.asarray(gt_maps["part_hm"][0]), cfg,
+            )
+            self.writer.image("Heatmaps/Ground_Truth/Anchors", gt_a, step)
+            self.writer.image("Heatmaps/Ground_Truth/Parts", gt_p, step)
             self.writer.image(
                 "Detections/Ground_Truth", viz.draw(image, annotation, cfg), step
             )

@@ -102,8 +102,9 @@ def test_eval_step_returns_outputs_and_stats():
     model, variables = init_model(cfg)
     eval_step = make_eval_step(model, cfg, out_h=8, out_w=8)
     images, kp = _batch(cfg)
-    outputs, stats = eval_step(variables, images, kp)
+    outputs, stats, gt_maps = eval_step(variables, images, kp)
     assert outputs["anchor_hm"].shape == (2, 8, 8, 1)
+    assert gt_maps["anchor_hm"].shape == (2, 8, 8, 1)
     assert np.isfinite(float(stats["total_loss"]))
 
 
