@@ -43,7 +43,16 @@ def make_train_step(
     variables per `parallel.mesh.param_shardings`); `state_example` (a
     concrete or abstract TrainState) supplies the pytree structure."""
 
+    multi_device = mesh is not None and mesh.size > 1
+
     def step(state: TrainState, images: jax.Array, kp: Dict[str, jax.Array]):
+        if multi_device:
+            # Shard the batch over "data" via an internal constraint
+            # instead of in_shardings: constraining uncommitted host
+            # inputs via in_shardings forces a host round-trip per call.
+            bsh_in = batch_sharding(mesh)
+            images = jax.lax.with_sharding_constraint(images, bsh_in)
+            kp = {k: jax.lax.with_sharding_constraint(v, bsh_in) for k, v in kp.items()}
         targets = _encode_batch(kp, config, out_h, out_w)
 
         def loss_fn(params):
@@ -73,7 +82,10 @@ def make_train_step(
         )
         return new_state, stats
 
-    if mesh is None:
+    if not multi_device:
+        # Single device: explicit sharding specs add no information and
+        # (on some single-controller tunnel backends) force per-call
+        # host round-trips of the whole state. Plain jit + donation.
         return jax.jit(step, donate_argnums=(0,) if donate else ())
 
     assert state_example is not None, "state_example required with a mesh"
@@ -105,13 +117,9 @@ def make_train_step(
     st_sh = TrainState(
         step=rep, params=params_sh, batch_stats=tree["batch_stats"], opt_state=opt_sh
     )
-    kp_sh = {k: bsh for k in (
-        "anchors_xy", "anchor_cls", "anchor_mask", "parts_xy", "part_kind",
-        "part_owner_xy", "part_mask",
-    )}
     return jax.jit(
         step,
-        in_shardings=(st_sh, bsh, kp_sh),
+        in_shardings=(st_sh, None, None),  # data sharded inside the step
         out_shardings=(st_sh, rep),
         donate_argnums=(0,) if donate else (),
     )
