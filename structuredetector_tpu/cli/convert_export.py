@@ -10,7 +10,7 @@ from pathlib import Path
 
 from ..config import Config
 from ..export import export_model
-from ..models.network import load_params
+from ..models.network import load_params  # full checkpoints only
 
 
 def parse_args(argv=None):

@@ -16,7 +16,7 @@ from tqdm import tqdm
 
 from ..config import config_from_args
 from ..data import Decoder, PredictionDataset, PredictionTransformation
-from ..models import init_model, load_params
+from ..models.network import init_model, resolve_variables
 from ..train.steps import make_forward
 from ..visualization import draw
 
@@ -29,8 +29,8 @@ def main(argv=None):
     )
 
     dataset = PredictionDataset(config.valid_dir, PredictionTransformation(config))
-    model, _ = init_model(config)
-    variables = load_params(config.pretrained_model)
+    model, init_vars = init_model(config)
+    variables = resolve_variables(config.pretrained_model, init_vars)
     decoder = Decoder(config)
     forward = make_forward(model)
 

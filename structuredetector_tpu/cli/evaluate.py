@@ -14,7 +14,7 @@ from tqdm import tqdm
 from ..config import config_from_args
 from ..data import CropDataset, Decoder, Loader, ValidationAugmentation
 from ..evaluation import Evaluator
-from ..models import init_model, load_params
+from ..models.network import init_model, resolve_variables
 from ..train.steps import make_forward
 
 
@@ -29,8 +29,8 @@ def main(argv=None):
     dataset = CropDataset(config, config.valid_dir, ValidationAugmentation(config))
     loader = Loader(dataset, batch_size=1, num_workers=config.num_workers)
 
-    model, _ = init_model(config)
-    variables = load_params(config.pretrained_model)
+    model, init_vars = init_model(config)
+    variables = resolve_variables(config.pretrained_model, init_vars)
     decoder = Decoder(config)
     forward = make_forward(model)
 

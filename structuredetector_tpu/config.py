@@ -73,6 +73,10 @@ class Config:
     # native/sdnet_io.cpp). Off by default: its bilinear resampling
     # differs slightly from PIL's, which matters for strict eval parity.
     native_io: bool = False
+    # Run color jitter + flips inside the jitted train step on the TPU
+    # (host only decodes+resizes). Disable for the reference's host-side
+    # PIL augmentation path.
+    device_augment: bool = True
     debug_nans: bool = False  # enable jax_debug_nans (SURVEY.md §5)
     resume_dir: Optional[Path] = None  # trainings/<ts> dir to resume from
 
@@ -265,6 +269,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--num_workers", type=int, default=d.num_workers,
                    help="Host-side data prefetch threads.")
+    p.add_argument("--host_augment", action="store_true",
+                   help="Augment on the host with PIL (reference behavior) "
+                        "instead of on-device.")
     p.add_argument("--native_io", action="store_true",
                    help="Use the native C++ image loader (fused decode+resize"
                         "+normalize; requires native/libsdnet_io.so).")
@@ -313,6 +320,7 @@ def config_from_args(argv=None) -> Config:
         seed=ns.seed,
         num_workers=ns.num_workers,
         native_io=ns.native_io,
+        device_augment=not ns.host_augment,
         debug_nans=ns.debug_nans,
         resume_dir=_opt_path(ns.resume_dir),
     )

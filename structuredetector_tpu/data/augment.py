@@ -157,6 +157,19 @@ class Normalize:
         return arr, target
 
 
+class Raw01:
+    """PIL -> float32 HWC in [0, 1], no normalization — feed for
+    on-device augmentation (ops.device_augment)."""
+
+    def __call__(self, image, target=None):
+        arr = np.asarray(image, np.float32) / 255.0
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if target is None:
+            return arr
+        return arr, target
+
+
 class Flatten:
     """Terminal transform: annotation -> padded keypoint arrays
     (device-side rendering replaces the reference `Encode`)."""
@@ -187,10 +200,21 @@ class TrainAugmentation:
                  legacy_flip: bool = False):
         self.config = config
         self.rng = rng or np.random.default_rng(config.seed)
+        self.device_augment = (
+            getattr(config, "device_augment", False) and not config.no_augmentation
+        )
         if config.no_augmentation:
             transforms = [
                 Resize((config.width, config.height)),
                 Normalize(),
+                Flatten(config),
+            ]
+        elif self.device_augment:
+            # host only resizes; jitter/flips/normalize run on-device
+            # inside the train step (ops.device_augment)
+            transforms = [
+                Resize((config.width, config.height)),
+                Raw01(),
                 Flatten(config),
             ]
         else:

@@ -150,3 +150,17 @@ def load_params(path) -> Dict[str, Any]:
 
         return load_torch_checkpoint(path)
     return flax.serialization.msgpack_restore(path.read_bytes())
+
+
+def resolve_variables(path, init_variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Load a checkpoint for inference/training start.
+
+    Full checkpoints replace `init_variables`; an encoder-only bridge
+    (raw torchvision resnet34 `.pth`) warm-starts just the encoder
+    (reference network.py:41 ImageNet init)."""
+    loaded = load_params(path)
+    if loaded.pop("encoder_only", False):
+        from .torch_bridge import warm_start_encoder
+
+        return warm_start_encoder(init_variables, loaded)
+    return loaded

@@ -20,7 +20,7 @@ from PIL import Image
 from .annotations import ImageAnnotation
 from .data.augment import PredictionTransformation
 from .data.decoders import Decoder
-from .models import init_model, load_params
+from .models.network import init_model, resolve_variables
 from .train.steps import make_forward
 
 
@@ -30,7 +30,7 @@ class Predictor:
         self.model, variables = init_model(config)
         path = model_path or config.pretrained_model
         if path:
-            variables = load_params(path)
+            variables = resolve_variables(path, variables)
         self.variables = variables
         self.transform = PredictionTransformation(config)
         self.decoder = Decoder(config)

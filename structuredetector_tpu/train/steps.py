@@ -35,6 +35,7 @@ def _encode_batch(kp, config, out_h: int, out_w: int):
 def make_train_step(
     model, config, optimizer, *, out_h: int, out_w: int,
     mesh=None, state_example: Optional[TrainState] = None, donate: bool = True,
+    augment: bool = False,
 ) -> Callable:
     """Build `step(state, images, kp_dict) -> (state, stats)` jitted for
     one static resolution bucket.
@@ -53,6 +54,11 @@ def make_train_step(
             bsh_in = batch_sharding(mesh)
             images = jax.lax.with_sharding_constraint(images, bsh_in)
             kp = {k: jax.lax.with_sharding_constraint(v, bsh_in) for k, v in kp.items()}
+        if augment:
+            from ..ops.device_augment import device_augment
+
+            key = jax.random.fold_in(jax.random.PRNGKey(config.seed), state.step)
+            images, kp = device_augment(images, kp, key, out_w=out_w, out_h=out_h)
         targets = _encode_batch(kp, config, out_h, out_w)
 
         def loss_fn(params):

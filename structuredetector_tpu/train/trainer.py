@@ -33,8 +33,7 @@ from ..data.dataset import CropDataset
 from ..data.decoders import Decoder
 from ..data.pipeline import Loader
 from ..evaluation import Evaluator
-from ..models import init_model, load_params
-from ..models.torch_bridge import warm_start_encoder
+from ..models import init_model
 from ..parallel.mesh import create_mesh
 from .checkpoints import BestModelSaver, CheckpointManager
 from .state import TrainState, create_train_state, make_lr_schedule, make_optimizer
@@ -85,11 +84,9 @@ class Trainer:
 
         # warm start / resume source (reference trainer.py:45-48)
         if config.pretrained_model:
-            loaded = load_params(config.pretrained_model)
-            if loaded.pop("encoder_only", False):
-                variables = warm_start_encoder(variables, loaded)
-            else:
-                variables = loaded
+            from ..models.network import resolve_variables
+
+            variables = resolve_variables(config.pretrained_model, variables)
 
         self.decoder = Decoder(config)
         self.evaluator = Evaluator(config)
@@ -146,6 +143,7 @@ class Trainer:
                 self.model, self.config, self.optimizer,
                 out_h=out_h, out_w=out_w,
                 mesh=self.mesh, state_example=self.state,
+                augment=self.train_augmentation.device_augment,
             )
         return self._train_steps[key]
 
