@@ -29,7 +29,12 @@ import os as _os
 
 # Persistent XLA compilation cache: amortizes the slow first compile
 # across processes/sessions (multi-scale buckets, CLI restarts, tests).
-if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+# CPU-only: serializing executables through tunneled TPU backends can
+# stall for minutes (set SDNET_XLA_CACHE=1 to force-enable elsewhere).
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ and (
+    "cpu" in _os.environ.get("JAX_PLATFORMS", "")
+    or _os.environ.get("SDNET_XLA_CACHE") == "1"
+):
     try:
         import jax as _jax
 

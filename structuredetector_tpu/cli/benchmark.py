@@ -67,7 +67,7 @@ def main(argv=None):
                 model.apply(v, x, train=False),
                 max_objects=cfg.max_objects, max_parts=cfg.max_parts,
                 conf_thresh=cfg.conf_threshold, dist_thresh=cfg.decoder_dist_thresh,
-                nms_fn=nms_fn,
+                nms_fn=nms_fn, with_metadata=False,
             )
         return infer
 
@@ -89,7 +89,7 @@ def main(argv=None):
         dec = jax.jit(lambda m, f=nms_fn: decode_feature_maps(
             m, max_objects=cfg.max_objects, max_parts=cfg.max_parts,
             conf_thresh=cfg.conf_threshold, dist_thresh=cfg.decoder_dist_thresh,
-            nms_fn=f))
+            nms_fn=f, with_metadata=False))
         t = _time(dec, maps, iters=args.iters)
         results[f"decode_{name}_us_per_img"] = t / b * 1e6
 

@@ -4,6 +4,7 @@ from .augment import (  # noqa: F401
     Normalize,
     RandomColorJitter,
     RandomHorizontalFlip,
+    RandomResize,
     RandomVerticalFlip,
     Resize,
     ExportTransforms,

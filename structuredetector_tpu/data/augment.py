@@ -99,6 +99,32 @@ class RandomVerticalFlip(RandomHorizontalFlip):
         return image, target
 
 
+class RandomResize:
+    """Per-sample random resize over x32-safe ratios (the reference's
+    unused alternate, transforms.py:71-92). NOTE: produces varying
+    shapes per sample; prefer the epoch-level `trigger_random_resize`
+    bucketing which keeps XLA shapes static within an epoch."""
+
+    def __init__(self, config, ratios=None, rng: Optional[np.random.Generator] = None):
+        # NOTE: the reference asserts `(ratio * 32) % 32 == 0`
+        # (transforms.py:76-77) which is false for its own default ratios
+        # — it's unused dead code upstream. Here sizes snap to x32.
+        if ratios is None:
+            ratios = [1 + 1 / 16 * r for r in range(-4, 5)]
+        self.ratios = list(ratios)
+        self.width = config.width
+        self.height = config.height
+        self.rng = rng or np.random.default_rng()
+
+    def __call__(self, image: Image.Image, target: ImageAnnotation):
+        ratio = self.ratios[int(self.rng.integers(len(self.ratios)))]
+        width = max(32, int(ratio * self.width / 32) * 32)
+        height = max(32, int(ratio * self.height / 32) * 32)
+        resized = image.resize((width, height), Image.BILINEAR)
+        annotation = target.resize(image.size, (width, height))
+        return resized, annotation
+
+
 class RandomColorJitter:
     """Brightness/contrast/saturation/hue jitter with torchvision-style
     factor ranges and random application order (transforms.py:37-47)."""
@@ -232,6 +258,21 @@ class TrainAugmentation:
     def current_size(self) -> Tuple[int, int]:
         r = self.transform.transforms[0]
         return (r.width, r.height)
+
+    def native_apply(self, image_path, target: ImageAnnotation):
+        """Native fast path for training in device-augment mode: fused
+        C++ decode+resize producing raw [0, 1] (jitter/flips/normalize
+        run on-device)."""
+        if not self.device_augment:
+            raise AttributeError("native path only in device-augment mode")
+        from . import native
+
+        cfg = self.config
+        w, h = self.current_size
+        arr, orig_size = native.load_image(image_path, w, h, normalize=False)
+        target.img_size = orig_size
+        annotation = target.resized(orig_size, (w, h))
+        return Flatten(cfg)(arr, annotation)
 
     def trigger_random_resize(self):
         """Re-roll the input resolution for the next epoch

@@ -71,18 +71,25 @@ def _fptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
+_RAW01_MEAN = np.zeros(3, np.float32)
+_RAW01_STD = np.ones(3, np.float32)
+
+
 def load_image(
-    path, out_w: int, out_h: int, hflip: bool = False, vflip: bool = False
+    path, out_w: int, out_h: int, hflip: bool = False, vflip: bool = False,
+    normalize: bool = True,
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
-    """Decode+resize+normalize one image -> ((out_h, out_w, 3) float32,
-    original (w, h))."""
+    """Decode+resize one image -> ((out_h, out_w, 3) float32, original
+    (w, h)). normalize=True applies ImageNet mean/std; False yields raw
+    [0, 1] (for on-device augmentation)."""
     lib = _load()
     assert lib is not None, "native IO library not built (make -C native)"
     out = np.empty((out_h, out_w, 3), np.float32)
     ow, oh = ctypes.c_int(0), ctypes.c_int(0)
+    mean, std = (_MEAN, _STD) if normalize else (_RAW01_MEAN, _RAW01_STD)
     r = lib.sdnet_load_image(
         str(path).encode(), out_w, out_h, int(hflip), int(vflip),
-        _fptr(_MEAN), _fptr(_STD), _fptr(out),
+        _fptr(mean), _fptr(std), _fptr(out),
         ctypes.byref(ow), ctypes.byref(oh),
     )
     if not r:

@@ -28,8 +28,12 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+import numpy as np
+
+# numpy (not jnp) so importing this module inside a trace can never
+# create leaked tracers
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 # reference RandomColorJitter defaults (transforms.py:38)
 BRIGHTNESS, CONTRAST, SATURATION, HUE = 0.25, 0.25, 0.15, 0.05

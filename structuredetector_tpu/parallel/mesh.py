@@ -30,6 +30,28 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed(coordinator_address=None, num_processes=None,
+                                 process_id=None) -> bool:
+    """Multi-host init (`jax.distributed.initialize`) — the TPU analog of
+    a NCCL/MPI backend bring-up (SURVEY.md §2b: the reference has no
+    distributed backend at all). No-op when env vars/args are absent or
+    initialization already happened. Returns True if distributed."""
+    import jax
+
+    try:
+        if coordinator_address or "JAX_COORDINATOR_ADDRESS" in __import__("os").environ:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+            return True
+    except RuntimeError:
+        # already initialized
+        return True
+    return jax.process_count() > 1
+
+
 def create_mesh(
     data_parallel: int = 0,
     model_parallel: int = 1,

@@ -16,6 +16,7 @@ from typing import Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..ops.device_augment import device_augment
 from ..ops.encode import encode_targets
 from ..ops.losses import sdnet_loss
 from ..parallel.mesh import batch_sharding, param_shardings, replicated_sharding
@@ -55,8 +56,6 @@ def make_train_step(
             images = jax.lax.with_sharding_constraint(images, bsh_in)
             kp = {k: jax.lax.with_sharding_constraint(v, bsh_in) for k, v in kp.items()}
         if augment:
-            from ..ops.device_augment import device_augment
-
             key = jax.random.fold_in(jax.random.PRNGKey(config.seed), state.step)
             images, kp = device_augment(images, kp, key, out_w=out_w, out_h=out_h)
         targets = _encode_batch(kp, config, out_h, out_w)

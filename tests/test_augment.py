@@ -211,3 +211,17 @@ def test_prediction_dataset(tmp_path):
     s = ds[0]
     assert s["img"].shape == (64, 64, 3)
     assert s["img_size"] == (30, 20)
+
+
+def test_random_resize_alternate():
+    from structuredetector_tpu.data.augment import RandomResize
+
+    cfg = make_config(width=256, height=256)
+    rr = RandomResize(cfg, rng=np.random.default_rng(0))
+    img, ann = make_pair()
+    sizes = set()
+    for _ in range(20):
+        out_img, _ = rr(*make_pair())
+        assert out_img.size[0] % 32 == 0
+        sizes.add(out_img.size)
+    assert len(sizes) > 2

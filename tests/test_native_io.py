@@ -106,3 +106,11 @@ def test_jpeg_scaled_decode_large(tmp_path, rng):
     assert orig == (1536, 1024)
     want = _pil_reference(p, 128, 128)
     assert np.abs(out - want).mean() < 0.12  # noise image: resampling differs
+
+
+def test_load_image_raw01(png_file):
+    out, _ = native.load_image(png_file, 70, 50, normalize=False)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    normed, _ = native.load_image(png_file, 70, 50, normalize=True)
+    want = (out - IMAGENET_MEAN) / IMAGENET_STD
+    np.testing.assert_allclose(normed, want, atol=1e-5)

@@ -140,3 +140,22 @@ def test_best_model_saver(tmp_path):
     # partial improvement
     saved = saver.update(variables, loss=0.5, csi_f1=0.4, classif_f1=0.9, kp_f1=0.6)
     assert set(saved) == {"loss", "classif"}
+
+
+def test_train_step_with_device_augment():
+    """Regression: augmented step must trace cleanly (the device_augment
+    module used to be imported inside the trace, leaking its constants
+    as tracers)."""
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    opt = make_optimizer(cfg, 10)
+    state = create_train_state(cfg, variables, opt)
+    step = make_train_step(model, cfg, opt, out_h=8, out_w=8, donate=False,
+                           augment=True)
+    images, kp = _batch(cfg)
+    images = (images - images.min()) / (images.max() - images.min())  # [0,1]
+    s2, stats = step(state, images, kp)
+    assert np.isfinite(float(stats["total_loss"]))
+    # different steps draw different augmentations -> different losses
+    s3, stats3 = step(s2, images, kp)
+    assert float(stats3["total_loss"]) != float(stats["total_loss"])
