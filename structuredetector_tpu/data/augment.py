@@ -280,8 +280,8 @@ class TrainAugmentation:
         if self.config.no_augmentation:
             return
         ratio = self.ratios[int(self.rng.integers(len(self.ratios)))]
-        width = int(ratio * self.config.width / 32) * 32
-        height = int(ratio * self.config.height / 32) * 32
+        width = max(32, int(ratio * self.config.width / 32) * 32)
+        height = max(32, int(ratio * self.config.height / 32) * 32)
         self.transform.transforms[0] = Resize((width, height))
 
     def __call__(self, image, target):

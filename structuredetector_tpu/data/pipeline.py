@@ -181,3 +181,34 @@ class Loader:
                 break
             yield item
         t.join()
+
+
+def device_prefetch(iterator, size: int = 2):
+    """Overlap host batch preparation with device compute: stage up to
+    `size` batches ahead with async `jax.device_put` of the array
+    fields. The reference relies on torch DataLoader prefetch_factor
+    (trainer.py:62-87); this is the JAX analog — transfers are async, so
+    staging N+1 happens while the device runs step N."""
+    import collections
+
+    import jax
+    import jax.numpy as jnp
+
+    def to_device(batch):
+        out = {}
+        for k, v in batch.items():
+            if k == "annotation":
+                out[k] = v
+            elif isinstance(v, FlatKeypoints):
+                out[k] = FlatKeypoints(*(jnp.asarray(f) for f in v))
+            else:
+                out[k] = jnp.asarray(v)
+        return out
+
+    queue_: "collections.deque" = collections.deque()
+    for batch in iterator:
+        queue_.append(to_device(batch))
+        if len(queue_) >= size:
+            yield queue_.popleft()
+    while queue_:
+        yield queue_.popleft()

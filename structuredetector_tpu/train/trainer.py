@@ -31,7 +31,7 @@ import numpy as np
 from ..data.augment import TrainAugmentation, ValidationAugmentation
 from ..data.dataset import CropDataset
 from ..data.decoders import Decoder
-from ..data.pipeline import Loader
+from ..data.pipeline import Loader, device_prefetch
 from ..evaluation import Evaluator
 from ..models import init_model
 from ..parallel.mesh import create_mesh
@@ -166,16 +166,20 @@ class Trainer:
             if self.resume():
                 print(f"Resumed from step {int(self.state.step)}")
 
-        for epoch in tqdm(range(self.config.epochs), desc="Training", unit="epoch"):
-            self.train_epoch(epoch)
-            if epoch % 2 == 0:
-                self.valid()
-            self.checkpoints.save_state(
-                self.global_step, jax.device_get(self.state)
-            )
-            self.writer.flush()
-        self.checkpoints.wait()
-        self.writer.close()
+        try:
+            for epoch in tqdm(range(self.config.epochs), desc="Training", unit="epoch"):
+                self.train_epoch(epoch)
+                if epoch % 2 == 0:
+                    self.valid()
+                self.checkpoints.save_state(
+                    self.global_step, jax.device_get(self.state)
+                )
+                self.writer.flush()
+        finally:
+            # Always drain the async checkpointer — an exception mid-loop
+            # must not leave orbax threads writing at interpreter exit.
+            self.checkpoints.wait()
+            self.writer.close()
 
     def train_epoch(self, epoch: int = 0):
         from tqdm import tqdm
@@ -186,12 +190,13 @@ class Trainer:
 
         profile_this = cfg.profile and not self._profiled
 
-        for i, batch in enumerate(
+        batches = device_prefetch(
             tqdm(self.train_loader, desc="Epoch", leave=False, unit="batch")
-        ):
+        )
+        for i, batch in enumerate(batches):
             if profile_this and i == 5:
                 jax.profiler.start_trace(str(self.save_dir / "profile"))
-            images = jnp.asarray(batch["image"])
+            images = batch["image"]
             kp = kp_to_device_dict(batch["keypoints"])
             self.state, stats = step_fn(self.state, images, kp)
             if profile_this and i == 10:
