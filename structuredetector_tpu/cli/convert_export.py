@@ -28,6 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--anchor_name", type=str, default="anchor")
     p.add_argument("--batch_size", "-b", type=int, default=1,
                    help="Static batch size baked into the artifact.")
+    p.add_argument("--dynamic_batch", action="store_true",
+                   help="Export with a symbolic batch dimension (one artifact "
+                        "serves any batch size).")
     p.add_argument("--norm", action="store_true",
                    help="Fold ImageNet normalization into the graph: the "
                         "exported model consumes raw [0,255] RGB "
@@ -50,7 +53,7 @@ def main(argv=None):
 
     variables = load_params(Path(args.model).expanduser().resolve())
     out = export_model(config, variables, args.output, batch_size=args.batch_size,
-                       fold_normalization=args.norm)
+                       fold_normalization=args.norm, dynamic_batch=args.dynamic_batch)
     print(f"Exported to {out}")
 
 

@@ -60,8 +60,13 @@ def make_export_fn(model, variables, n_labels: int, n_parts: int,
 
 
 def export_model(config, variables, path, batch_size: int = 1,
-                 fold_normalization: bool = False) -> Path:
-    """Serialize the inference graph + metadata into a `.sdz` zip."""
+                 fold_normalization: bool = False,
+                 dynamic_batch: bool = False) -> Path:
+    """Serialize the inference graph + metadata into a `.sdz` zip.
+
+    `dynamic_batch` exports with a symbolic batch dimension
+    (`jax.export.symbolic_shape`) so one artifact serves any batch size;
+    otherwise `batch_size` is baked in as a static shape."""
     from jax import export as jexport
 
     from .models.network import build_model
@@ -69,8 +74,13 @@ def export_model(config, variables, path, batch_size: int = 1,
     model = build_model(config)
     fn = make_export_fn(model, variables, config.n_labels, config.n_parts,
                         fold_normalization=fold_normalization)
+    if dynamic_batch:
+        (b,) = jexport.symbolic_shape("b")
+        lead = b
+    else:
+        lead = batch_size
     x_spec = jax.ShapeDtypeStruct(
-        (batch_size, config.height, config.width, config.in_channels), jnp.float32
+        (lead, config.height, config.width, config.in_channels), jnp.float32
     )
     exported = jexport.export(jax.jit(fn))(x_spec)
     graph = exported.serialize()
@@ -83,6 +93,7 @@ def export_model(config, variables, path, batch_size: int = 1,
         "height": config.height,
         "anchor_name": config.anchor_name,
         "batch_size": batch_size,
+        "dynamic_batch": dynamic_batch,
         "normalized": fold_normalization,
         "framework": "structuredetector-tpu",
         "version": "1",

@@ -172,3 +172,20 @@ def kp_to_device_dict(kp) -> Dict[str, jnp.ndarray]:
         "part_owner_xy": jnp.asarray(kp.part_owner_xy),
         "part_mask": jnp.asarray(kp.part_mask),
     }
+
+
+def make_sharded_forward(model, mesh) -> Callable:
+    """Data-parallel batched inference over a mesh: the batch shards
+    over "data" (via an internal constraint, see make_train_step notes),
+    variables replicate. Serving-side SPMD analog of the DP train step."""
+    from ..parallel.mesh import batch_sharding
+
+    if mesh is None or mesh.size <= 1:
+        return make_forward(model)
+
+    @jax.jit
+    def forward(variables, images: jax.Array):
+        images = jax.lax.with_sharding_constraint(images, batch_sharding(mesh))
+        return model.apply(variables, images, train=False)
+
+    return forward

@@ -56,3 +56,15 @@ def test_export_fn_fuses_sigmoid_nms():
     want_hm = plateau_nms(clamped_sigmoid(raw[..., :3]))
     np.testing.assert_allclose(np.asarray(out[..., :3]), np.asarray(want_hm), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out[..., 3:]), np.asarray(raw[..., 3:]), atol=1e-6)
+
+
+def test_export_dynamic_batch(tmp_path):
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    p = export_model(cfg, variables, tmp_path / "dyn.sdz", dynamic_batch=True)
+    call, meta = load_exported(p)
+    assert meta["dynamic_batch"]
+    out1 = np.asarray(call(np.zeros((1, 32, 32, 3), np.float32)))
+    out3 = np.asarray(call(np.zeros((3, 32, 32, 3), np.float32)))
+    assert out1.shape[0] == 1 and out3.shape[0] == 3
+    np.testing.assert_allclose(out3[0], out1[0], atol=1e-5)

@@ -122,3 +122,19 @@ def test_model_parallel_step_matches():
     assert float(stats1["total_loss"]) == pytest.approx(
         float(stats2["total_loss"]), rel=1e-5
     )
+
+
+def test_sharded_forward_matches_single_device():
+    from structuredetector_tpu.train.steps import make_forward, make_sharded_forward
+
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(0, 1, (4, 32, 32, 3)), jnp.float32
+    )
+    plain = make_forward(model)(variables, images)
+    mesh = create_mesh(4, 1, devices=jax.devices()[:4])
+    sharded = make_sharded_forward(model, mesh)(variables, images)
+    np.testing.assert_allclose(
+        np.asarray(plain["anchor_hm"]), np.asarray(sharded["anchor_hm"]), atol=1e-5
+    )
