@@ -29,11 +29,11 @@ import os as _os
 
 # Persistent XLA compilation cache: amortizes the slow first compile
 # across processes/sessions (multi-scale buckets, CLI restarts, tests).
-# CPU-only: serializing executables through tunneled TPU backends can
-# stall for minutes (set SDNET_XLA_CACHE=1 to force-enable elsewhere).
+# OPT-IN ONLY (SDNET_XLA_CACHE=1): loading cached CPU AOT executables
+# SIGABRTs when the visible host CPU features drift (heterogeneous VM
+# hosts), and serializing through tunneled TPU backends can stall.
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ and (
-    "cpu" in _os.environ.get("JAX_PLATFORMS", "")
-    or _os.environ.get("SDNET_XLA_CACHE") == "1"
+    _os.environ.get("SDNET_XLA_CACHE") == "1"
 ):
     try:
         import jax as _jax
@@ -61,3 +61,24 @@ if "JAX_PLATFORMS" in _os.environ:
 
 from .config import Config  # noqa: F401
 from .annotations import Box, ImageAnnotation, Keypoint, Object  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy top-level API (avoids importing jax/flax at package import)."""
+    if name == "Predictor":
+        from .predictor import Predictor
+
+        return Predictor
+    if name == "Evaluator":
+        from .evaluation import Evaluator
+
+        return Evaluator
+    if name == "Trainer":
+        from .train import Trainer
+
+        return Trainer
+    if name == "SDNet":
+        from .models import SDNet
+
+        return SDNet
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

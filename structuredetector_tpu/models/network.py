@@ -115,6 +115,22 @@ def build_model(config, dtype: Optional[jnp.dtype] = None) -> SDNet:
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_init_fn(n_labels: int, n_parts: int, fpn_depth: int, dtype_name: str,
+                    h: int, w: int, c: int):
+    """One compiled init program per unique model signature per process
+    (plain `jax.jit(lambda ...)` would recompile for every new lambda)."""
+    model = SDNet(
+        n_labels=n_labels, n_parts=n_parts, fpn_depth=fpn_depth,
+        dtype=jnp.dtype(dtype_name),
+    )
+    dummy = jnp.zeros((1, h, w, c), jnp.float32)
+    return jax.jit(lambda rng: model.init(rng, dummy, train=False))
+
+
 def init_model(
     config, rng: Optional[jax.Array] = None, input_size: Optional[Tuple[int, int]] = None
 ) -> Tuple[SDNet, Dict[str, Any]]:
@@ -122,9 +138,11 @@ def init_model(
     model = build_model(config)
     rng = rng if rng is not None else jax.random.PRNGKey(config.seed)
     w, h = input_size or config.input_size
-    dummy = jnp.zeros((1, h, w, config.in_channels), jnp.float32)
-    variables = jax.jit(lambda: model.init(rng, dummy, train=False))()
-    return model, variables
+    init_fn = _cached_init_fn(
+        config.n_labels, config.n_parts, config.fpn_depth,
+        jnp.dtype(config.compute_dtype).name, h, w, config.in_channels,
+    )
+    return model, init_fn(rng)
 
 
 def save_params(variables: Dict[str, Any], path) -> None:

@@ -50,7 +50,7 @@ def draw(image, annotation, config, unnorm_image: bool = True) -> Image.Image:
 
     d = ImageDraw.Draw(img)
     img_w, img_h = img.size
-    offset = int(min(img_w, img_h) / 100)
+    offset = max(1, int(min(img_w, img_h) / 100))
     thickness = max(1, int(min(img_w, img_h) / 100))
     label_colors = config.label_color_map
     part_colors = config.part_color_map
@@ -106,7 +106,7 @@ def draw_kp_and_emb(image, anchors: np.ndarray, parts: np.ndarray,
     img = to_pil(un_normalize(np.asarray(image, np.float32)))
     d = ImageDraw.Draw(img)
     img_w, img_h = img.size
-    offset = int(min(img_w, img_h) / 100)
+    offset = max(1, int(min(img_w, img_h) / 100))
     thickness = max(1, int(min(img_w, img_h) / 100))
 
     for x, y, score, label in np.asarray(anchors):
@@ -149,7 +149,7 @@ def draw_keypoints(image, keypoints, config) -> Image.Image:
     img = to_pil(image)
     d = ImageDraw.Draw(img)
     img_w, img_h = img.size
-    offset = int(min(img_w, img_h) / 100)
+    offset = max(1, int(min(img_w, img_h) / 100))
     for kp in keypoints:
         if kp.kind in config.labels:
             color = config.label_color_map[kp.kind]
