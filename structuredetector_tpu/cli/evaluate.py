@@ -7,7 +7,6 @@ metric tables, optionally exports the keypoint CSV.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from tqdm import tqdm
 

@@ -26,7 +26,6 @@ from collections import defaultdict
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 
 from ..annotations import ImageAnnotation, Keypoint, Object
 from ..ops.decode import decode_feature_maps

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterable, List, NamedTuple, Optional, Sequence
+from typing import Dict, List, NamedTuple, Sequence
 
 import numpy as np
 
@@ -191,7 +191,6 @@ def device_prefetch(iterator, size: int = 2):
     staging N+1 happens while the device runs step N."""
     import collections
 
-    import jax
     import jax.numpy as jnp
 
     def to_device(batch):

@@ -35,7 +35,7 @@ import sys
 from copy import copy
 from functools import reduce
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

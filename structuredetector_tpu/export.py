@@ -17,7 +17,6 @@ artifact with `ExportDecoder` (no second sigmoid+NMS) — the reference's
 
 from __future__ import annotations
 
-import io
 import json
 import zipfile
 from pathlib import Path
@@ -26,7 +25,6 @@ from typing import Any, Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from .ops.decode import split_head_output
 from .ops.tensor import clamped_sigmoid, plateau_nms
 
 METADATA_NAME = "params.json"

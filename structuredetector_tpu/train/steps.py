@@ -10,8 +10,7 @@ all-reduce over ICI (GSPMD inserts the psum).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,10 +19,9 @@ TPU-first differences:
 
 from __future__ import annotations
 
-import time
 from datetime import datetime
 from pathlib import Path
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,7 @@ from ..evaluation import Evaluator
 from ..models import init_model
 from ..parallel.mesh import create_mesh
 from .checkpoints import BestModelSaver, CheckpointManager
-from .state import TrainState, create_train_state, make_lr_schedule, make_optimizer
+from .state import create_train_state, make_lr_schedule, make_optimizer
 from .steps import kp_to_device_dict, make_eval_step, make_train_step
 
 

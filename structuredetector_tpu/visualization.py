@@ -17,8 +17,6 @@ device; callers `jax.device_get` first.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
-
 import numpy as np
 from PIL import Image, ImageDraw
 

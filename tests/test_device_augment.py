@@ -133,3 +133,31 @@ def test_normalize_images():
     out = np.asarray(normalize_images(img))
     want = (0.5 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
     np.testing.assert_allclose(out[0, 0, 0], want, rtol=1e-5)
+
+
+def test_marker_pixel_alignment(rng):
+    """End-to-end geometric consistency: a bright marker pixel placed at
+    the keypoint location must still sit at the keypoint's (transformed)
+    location after device augmentation, for every flip combination."""
+    B, H, W, g = 8, 64, 64, 16
+    imgs = np.zeros((B, H, W, 3), np.float32)
+    kx, ky = 20, 44
+    imgs[:, ky, kx, 0] = 1.0
+    kp = {
+        "anchors_xy": jnp.tile(jnp.array([[[kx * g / W, ky * g / H]]]), (B, 1, 1)),
+        "anchor_cls": jnp.zeros((B, 1), jnp.int32),
+        "anchor_mask": jnp.ones((B, 1), bool),
+        "parts_xy": jnp.zeros((B, 1, 2)),
+        "part_kind": jnp.zeros((B, 1), jnp.int32),
+        "part_owner_xy": jnp.zeros((B, 1, 2)),
+        "part_mask": jnp.zeros((B, 1), bool),
+    }
+    out, okp = device_augment(
+        jnp.asarray(imgs), kp, jax.random.PRNGKey(42), out_w=g, out_h=g
+    )
+    out = np.asarray(out)
+    axy = np.asarray(okp["anchors_xy"])
+    for b in range(B):
+        my, mx = np.unravel_index(out[b, :, :, 0].argmax(), (H, W))
+        ex, ey = axy[b, 0, 0] * W / g, axy[b, 0, 1] * H / g
+        assert abs(ex - mx) < 1.5 and abs(ey - my) < 1.5, (b, (mx, my), (ex, ey))
