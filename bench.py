@@ -64,8 +64,9 @@ def main():
     @jax.jit
     def infer_loop(variables, images):
         def body(carry, _):
-            # 0-magnitude perturbation forces a loop-carried dependence.
-            dec = one_step(variables, images + carry * 0.0)
+            # Tiny (but non-zero: XLA folds x*0) perturbation forces a
+            # real loop-carried dependence so the body can't be hoisted.
+            dec = one_step(variables, images + carry * 1e-12)
             return dec["anchors"][0, 0, 2], None
 
         carry, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
@@ -73,14 +74,16 @@ def main():
 
     images = jnp.zeros((batch, cfg.height, cfg.width, 3), jnp.float32)
 
-    # warmup / compile
-    jax.block_until_ready(infer_loop(variables, images))
+    # warmup / compile. NOTE: synchronization is via a host transfer
+    # (float(...)) — block_until_ready is unreliable through tunneled
+    # single-controller backends and can return before execution.
+    float(infer_loop(variables, images))
 
     reps = 5 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(reps):
         out = infer_loop(variables, images)
-    jax.block_until_ready(out)
+    _ = float(out)
     dt = time.perf_counter() - t0
 
     fps = batch * ITERS * reps / dt
