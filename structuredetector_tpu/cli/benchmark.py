@@ -17,14 +17,20 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    # host transfer as the sync point: block_until_ready can return
+    # before execution on tunneled single-controller backends
+    jax.device_get(jax.tree.leaves(out)[0])
+
+
 def _time(fn, *args, iters=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
