@@ -59,7 +59,8 @@ def make_export_fn(model, variables, n_labels: int, n_parts: int,
 
 def export_model(config, variables, path, batch_size: int = 1,
                  fold_normalization: bool = False,
-                 dynamic_batch: bool = False) -> Path:
+                 dynamic_batch: bool = False,
+                 platforms=("cpu", "tpu")) -> Path:
     """Serialize the inference graph + metadata into a `.sdz` zip.
 
     `dynamic_batch` exports with a symbolic batch dimension
@@ -80,7 +81,9 @@ def export_model(config, variables, path, batch_size: int = 1,
     x_spec = jax.ShapeDtypeStruct(
         (lead, config.height, config.width, config.in_channels), jnp.float32
     )
-    exported = jexport.export(jax.jit(fn))(x_spec)
+    # multi-platform lowering: one artifact serves CPU and TPU (the
+    # reference's CoreML export is Apple-only; ours is portable)
+    exported = jexport.export(jax.jit(fn), platforms=list(platforms))(x_spec)
     graph = exported.serialize()
 
     metadata = {
@@ -92,6 +95,7 @@ def export_model(config, variables, path, batch_size: int = 1,
         "anchor_name": config.anchor_name,
         "batch_size": batch_size,
         "dynamic_batch": dynamic_batch,
+        "platforms": list(platforms),
         "normalized": fold_normalization,
         "framework": "structuredetector-tpu",
         "version": "1",
