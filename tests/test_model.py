@@ -134,3 +134,66 @@ def test_save_load_params(tiny_config, tmp_path):
     a = model.apply(variables, x, train=False)
     b = model.apply(loaded, x, train=False)
     np.testing.assert_allclose(np.asarray(a["offsets"]), np.asarray(b["offsets"]))
+
+
+def test_bridge_loads_real_torch_pth(tiny_config, tmp_path):
+    """End-to-end .pth path: an actual torch.save'd state_dict with the
+    reference's key naming loads via load_params/resolve_variables."""
+    torch = pytest.importorskip("torch")
+    from structuredetector_tpu.models.network import load_params, resolve_variables
+
+    model, variables = init_model(tiny_config)
+    p, s = variables["params"], variables["batch_stats"]
+
+    sd = {}
+
+    def put_conv(key, kernel):
+        sd[key] = torch.from_numpy(
+            np.ascontiguousarray(np.transpose(np.asarray(kernel), (3, 2, 0, 1)))
+        )
+
+    def put_bn(prefix, bn_params, bn_stats):
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(bn_params["scale"]))
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(bn_params["bias"]))
+        sd[f"{prefix}.running_mean"] = torch.from_numpy(np.asarray(bn_stats["mean"]))
+        sd[f"{prefix}.running_var"] = torch.from_numpy(np.asarray(bn_stats["var"]))
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+    put_conv("adpater.0.weight", p["encoder"]["conv1"]["kernel"])
+    put_bn("adpater.1", p["encoder"]["bn1"], s["encoder"]["bn1"])
+    for stage, n_blocks in enumerate((3, 4, 6, 3)):
+        for b in range(n_blocks):
+            name = f"layer{stage + 1}_{b}"
+            tname = f"down{stage + 1}.{b}"
+            put_conv(f"{tname}.conv1.weight", p["encoder"][name]["conv1"]["kernel"])
+            put_bn(f"{tname}.bn1", p["encoder"][name]["bn1"], s["encoder"][name]["bn1"])
+            put_conv(f"{tname}.conv2.weight", p["encoder"][name]["conv2"]["kernel"])
+            put_bn(f"{tname}.bn2", p["encoder"][name]["bn2"], s["encoder"][name]["bn2"])
+            if stage > 0 and b == 0:
+                put_conv(f"{tname}.downsample.0.weight",
+                         p["encoder"][name]["downsample_conv"]["kernel"])
+                put_bn(f"{tname}.downsample.1",
+                       p["encoder"][name]["downsample_bn"],
+                       s["encoder"][name]["downsample_bn"])
+    put_conv("up1.weight", p["up1"]["kernel"])
+    sd["up1.bias"] = torch.from_numpy(np.asarray(p["up1"]["bias"]))
+    for k in (2, 3, 4):
+        put_conv(f"up{k}.lateral.weight", p[f"up{k}"]["lateral"]["kernel"])
+        sd[f"up{k}.lateral.bias"] = torch.from_numpy(
+            np.asarray(p[f"up{k}"]["lateral"]["bias"])
+        )
+        put_conv(f"up{k}.conv.0.weight", p[f"up{k}"]["conv"]["kernel"])
+        put_bn(f"up{k}.conv.1", p[f"up{k}"]["bn"], s[f"up{k}"]["bn"])
+    put_conv("head.conv.weight", p["head"]["kernel"])
+    sd["head.conv.bias"] = torch.from_numpy(np.asarray(p["head"]["bias"]))
+
+    path = tmp_path / "reference_style.pth"
+    torch.save(sd, path)
+
+    bridged = resolve_variables(path, variables)
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    a = model.apply(variables, x, train=False)
+    b = model.apply(bridged, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(a["part_hm"]), np.asarray(b["part_hm"]), atol=1e-6
+    )
