@@ -11,9 +11,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in xla_flags:
+    # Cap codegen at AVX2: this VM's visible CPU features drift between
+    # hosts (AMX/AVX512 sometimes vanish) and feature-specific codegen
+    # sporadically SIGABRTs during compile.
+    xla_flags = (xla_flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = xla_flags
 
 import jax
 
