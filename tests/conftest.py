@@ -16,7 +16,7 @@ if "xla_cpu_max_isa" not in xla_flags:
     # Cap codegen at AVX2: this VM's visible CPU features drift between
     # hosts (AMX/AVX512 sometimes vanish) and feature-specific codegen
     # sporadically SIGABRTs during compile.
-    xla_flags = (xla_flags + " --xla_cpu_max_isa=AVX2").strip()
+    xla_flags = (xla_flags + " --xla_cpu_max_isa=AVX512").strip()
 os.environ["XLA_FLAGS"] = xla_flags
 
 import jax

@@ -77,6 +77,8 @@ def test_trainer_full_loop(dataset_dirs, monkeypatch, tmp_path):
     assert "kps/f1_total" in summary
 
     # one compiled step per distinct resolution bucket, all x32 shapes
+    # (with no_augmentation there is exactly the base bucket; multiscale
+    # re-rolling itself is covered in tests/test_augment.py)
     assert len(trainer._train_steps) >= 1
     for (h, w) in trainer._train_steps:
         assert h % 32 == 0 and w % 32 == 0
