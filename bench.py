@@ -31,7 +31,7 @@ from structuredetector_tpu.models import init_model
 from structuredetector_tpu.ops.decode import decode_feature_maps
 
 BASELINE_FPS = 90.0  # reference README.md:114 (M1 Pro ANE, end-to-end)
-ITERS = 10
+ITERS = 5
 
 
 def main():
@@ -41,7 +41,7 @@ def main():
     cfg.validate()
 
     model, variables = init_model(cfg)
-    batch = 32 if on_tpu else 2
+    batch = 128 if on_tpu else 2
 
     nms_fn = None
     if on_tpu:
@@ -79,7 +79,7 @@ def main():
     # single-controller backends and can return before execution.
     float(infer_loop(variables, images))
 
-    reps = 5 if on_tpu else 1
+    reps = 3 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(reps):
         out = infer_loop(variables, images)
