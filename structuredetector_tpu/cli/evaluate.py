@@ -26,23 +26,25 @@ def main(argv=None):
 
     evaluator = Evaluator(config)
     dataset = CropDataset(config, config.valid_dir, ValidationAugmentation(config))
-    loader = Loader(dataset, batch_size=1, num_workers=config.num_workers)
+    loader = Loader(dataset, batch_size=config.eval_batch_size,
+                    num_workers=config.num_workers)
 
     model, init_vars = init_model(config)
     variables = resolve_variables(config.pretrained_model, init_vars)
     decoder = Decoder(config)
     forward = make_forward(model)
 
-    for batch in tqdm(loader, desc="Evaluation", unit="image"):
+    for batch in tqdm(loader, desc="Evaluation", unit="batch"):
         outputs = forward(variables, jnp.asarray(batch["image"]))
         data = decoder(outputs, return_metadata=True)
-        evaluator.accumulate(
-            data["annotation"][0],
-            batch["annotation"][0],
-            data["raw_parts"][0],
-            eval_csi=True,
-            eval_classif=True,
-        )
+        for i, annotation in enumerate(batch["annotation"]):
+            evaluator.accumulate(
+                data["annotation"][i],
+                annotation,
+                data["raw_parts"][i],
+                eval_csi=True,
+                eval_classif=True,
+            )
 
     evaluator.pretty_print()
     if config.csv_path is not None:

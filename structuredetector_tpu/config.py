@@ -79,6 +79,8 @@ class Config:
     device_augment: bool = True
     debug_nans: bool = False  # enable jax_debug_nans (SURVEY.md §5)
     resume_dir: Optional[Path] = None  # trainings/<ts> dir to resume from
+    # evaluation device batch (metrics identical; >1 amortizes dispatch)
+    eval_batch_size: int = 1
 
     # label maps, filled by `finalize()`
     labels: Dict[str, int] = dataclasses.field(default_factory=dict)
@@ -280,6 +282,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--resume", dest="resume_dir", type=str, default=None,
                    help="Resume training from a previous trainings/<ts> dir "
                         "(restores params, optimizer state, and step).")
+    p.add_argument("--eval_batch_size", type=int, default=d.eval_batch_size,
+                   help="Images per device batch during evaluation (metrics "
+                        "are identical; larger batches amortize dispatch).")
     return p
 
 
@@ -323,6 +328,7 @@ def config_from_args(argv=None) -> Config:
         device_augment=not ns.host_augment,
         debug_nans=ns.debug_nans,
         resume_dir=_opt_path(ns.resume_dir),
+        eval_batch_size=max(1, ns.eval_batch_size),
     )
     if cfg.debug_nans:
         import jax
