@@ -231,14 +231,16 @@ class Object:
             if kp.kind == anchor_name:
                 if anchor is not None:
                     raise ValueError(
-                        "More than one anchor found for object, anchor must be unique."
+                        f"object has multiple keypoints of the anchor kind "
+                        f"'{anchor_name}'; exactly one is required"
                     )
                 anchor = kp
             else:
                 parts.append(kp)
         if anchor is None:
             raise ValueError(
-                f"Anchor part with name '{anchor_name}' not found while decoding JSON file."
+                f"object JSON is missing its anchor: no keypoint of kind "
+                f"'{anchor_name}' in the 'parts' list"
             )
         return Object(d["label"], anchor, parts, Box.from_json(d.get("box")))
 

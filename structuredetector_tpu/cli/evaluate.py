@@ -19,7 +19,7 @@ from ..train.steps import make_forward
 
 def main(argv=None):
     config = config_from_args(argv)
-    assert config.valid_dir, "Path to a directory with validation samples must be specified."
+    assert config.valid_dir, "evaluate requires --valid_dir (annotated validation samples)"
     assert config.pretrained_model, (
         "No pretrained model specified. Use the option '--load_model <model_path>'."
     )

@@ -8,8 +8,8 @@ from ..train import Trainer
 
 def main(argv=None):
     config = config_from_args(argv)
-    assert config.train_dir, "Path to a directory with training samples must be specified."
-    assert config.valid_dir, "Path to a directory with validation samples must be specified."
+    assert config.train_dir, "train requires --train_dir (annotated training samples)"
+    assert config.valid_dir, "train requires --valid_dir (annotated validation samples)"
     trainer = Trainer(config)
     trainer.train()
 

@@ -1,18 +1,20 @@
-"""Evaluation engine: greedy matching metrics.
+"""Evaluation engine: greedy-matching detection metrics.
 
-Semantics mirror the reference exactly
-(`/root/reference/src/sdnet/model/evaluator.py`):
+Matching semantics are the spec of the reference
+(`/root/reference/src/sdnet/model/evaluator.py`) and are pinned by the
+differential harness (`tests/test_reference_differential.py`), which runs
+both implementations on identical scenes and requires identical counters:
 
 - `Evaluation` — tp/npos/ndet counters with precision/recall/F1/CSI and
   localization accuracy mean/stderr (`evaluator.py:13-122`); F1 is
-  computed as 2*tp/(npos+ndet) and CSI as tp/(npos+ndet-tp).
+  2*tp/(npos+ndet) and CSI is tp/(npos+ndet-tp).
 - `Evaluations` — per-label map with `+`, `|` union-merge and micro-
   average `reduce()` (`evaluator.py:125-205`).
 - `Evaluator` — four metric families accumulated per image
   (`evaluator.py:226-242`):
   * anchor localization: score-sorted greedy matching of predicted
-    anchors to nearest GT within `dist_threshold * min(img_size)` with
-    visited flags (`eval_anchor`, :244-284),
+    anchors to the nearest GT within `dist_threshold * min(img_size)`
+    with visited flags (`eval_anchor`, :244-284),
   * part localization on *raw* pre-grouping part detections
     (`eval_part`, :286-334),
   * CSI: per-object structural score (`compute_csi`, :538-581), object
@@ -20,22 +22,30 @@ Semantics mirror the reference exactly
   * classification: objects bucketed by "{label}_{nb_parts}"
     (`eval_classif`, :429-474).
 
-All matching happens after resizing annotations back to the original
-image size (`evaluator.py:246-248`).
+Implementation is redesigned for throughput: instead of deep-copying and
+resizing annotation object graphs per metric family (the reference
+resizes both annotations up front, `evaluator.py:246-248`), coordinates
+are extracted once into numpy arrays already scaled to original image
+space, and each greedy pass computes its full distance matrix in one
+vectorized `np.hypot`. The greedy tie-breaking is preserved exactly:
+stable descending score order, first-minimum wins.
 
-Divergence (documented): the reference hardcodes the classification
-label space to bean_0..9/maize_0..9 (`evaluator.py:422-427` — marked
-"WARNING: Hardcoded"); here it is derived as {label}_{0..9} for the
-configured labels, which is identical for the reference's label set.
+Documented divergences:
+- classification label space is derived as {label}_{0..9} for the
+  configured labels instead of the reference's hardcoded bean_/maize_
+  list (`evaluator.py:422-427`) — identical for the reference's labels;
+- `Evaluations.__ior__` here is a working in-place union-merge; the
+  reference's (`evaluator.py:180-185`) recursively `|=`'s plain dicts
+  and raises AttributeError if ever called.
 """
 
 from __future__ import annotations
 
-import sys
+import math
 from copy import copy
 from functools import reduce
 from pathlib import Path
-from typing import Dict, List
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -125,13 +135,13 @@ class Evaluation:
         from rich.table import Column
 
         return (
-            Column("Gts.", justify="right"),
-            Column("Preds.", justify="right"),
-            Column("Rec.", justify="right"),
-            Column("Prec.", justify="right"),
-            Column("F1 Score", justify="right", style="green"),
-            Column("L. Acc.", justify="right"),
-            Column("L. Err.", justify="right"),
+            Column("GT", justify="right"),
+            Column("Det", justify="right"),
+            Column("Recall", justify="right"),
+            Column("Precision", justify="right"),
+            Column("F1", justify="right", style="green"),
+            Column("Loc. acc", justify="right"),
+            Column("± err", justify="right"),
         )
 
     def pretty_print(self):
@@ -154,16 +164,16 @@ class Evaluation:
 
     def __repr__(self):
         return (
-            f"f1: {self.f1_score:.2%}, rec: {self.recall:.2%}, "
-            f"prec: {self.precision:.2%}, npos: {self.npos}, ndet: {self.ndet}, "
-            f"tp/fp/fn: {self.tp}/{self.fp}/{self.fn}, avg_acc: {self.avg_acc:.2}"
+            f"Evaluation(f1={self.f1_score:.2%} rec={self.recall:.2%} "
+            f"prec={self.precision:.2%} tp={self.tp} fp={self.fp} fn={self.fn} "
+            f"npos={self.npos} ndet={self.ndet} loc_acc={self.avg_acc:.2})"
         )
 
     @staticmethod
     def _precondition(tp, npos, ndet):
-        assert tp >= 0 and ndet >= 0 and npos >= 0, "tp, npos and ndet should be positive"
-        assert tp <= ndet, "tp must be lower than or equal to ndet"
-        assert tp <= npos, "tp must be lower than or equal to npos"
+        assert tp >= 0 and ndet >= 0 and npos >= 0, "counters cannot go negative"
+        assert tp <= ndet, "true positives cannot exceed the detection count"
+        assert tp <= npos, "true positives cannot exceed the ground-truth count"
 
 
 class Evaluations:
@@ -193,13 +203,13 @@ class Evaluations:
         return len(self.evals)
 
     def __add__(self, other: "Evaluations"):
-        assert self.labels == other.labels, "The Evaluations should have the same labels"
+        assert self.labels == other.labels, "cannot merge: label sets differ"
         out = Evaluations()
         out.evals = {label: self.evals[label] + e for label, e in other.items()}
         return out
 
     def __iadd__(self, other: "Evaluations"):
-        assert self.labels == other.labels, "The Evaluations should have the same labels"
+        assert self.labels == other.labels, "cannot merge: label sets differ"
         for label, e in other.items():
             self.evals[label] += e
         return self
@@ -214,6 +224,17 @@ class Evaluations:
         out.evals.update({label: self[label] for label in self.labels - other.labels})
         out.evals.update({label: other[label] for label in other.labels - self.labels})
         return out
+
+    def __ior__(self, other: "Evaluations"):
+        """In-place union-merge. (The reference's `__ior__`,
+        evaluator.py:180-185, `|=`'s plain dicts and would raise; this is
+        the working equivalent of `self = self | other`.)"""
+        for label in other.labels:
+            if label in self.evals:
+                self.evals[label] = self.evals[label] + other[label]
+            else:
+                self.evals[label] = other[label]
+        return self
 
     def reduce(self) -> Evaluation:
         return reduce(Evaluation.__iadd__, self.evals.values(), Evaluation())
@@ -237,27 +258,69 @@ class Evaluations:
         return desc
 
 
-def _greedy_match(preds, gts, dist_thresh, result: Evaluation, score_key, dist_fn):
-    """Score-sorted greedy nearest matching with visited flags — the
-    shared inner loop of all reference metric families
-    (evaluator.py:264-283 et al.)."""
-    result.ndet = len(preds)
-    result.npos = len(gts)
-    preds = sorted(preds, key=score_key, reverse=True)
-    visited = [False] * len(gts)
-    for pred in preds:
-        min_dist = sys.float_info.max
-        j_min = None
-        for j, gt in enumerate(gts):
-            d = dist_fn(pred, gt)
-            if d < min_dist:
-                min_dist = d
-                j_min = j
-        if min_dist < dist_thresh and not visited[j_min]:
-            visited[j_min] = True
-            result.tp += 1
-            result.acc.append(min_dist)
-    return result
+# ---------------------------------------------------------------------------
+# vectorized greedy matching core
+# ---------------------------------------------------------------------------
+
+
+def _xy_array(items, sx: float, sy: float) -> np.ndarray:
+    """(n, 2) float64 coordinates scaled into original image space."""
+    if not items:
+        return np.empty((0, 2))
+    out = np.empty((len(items), 2))
+    for i, it in enumerate(items):
+        out[i, 0] = it.x * sx
+        out[i, 1] = it.y * sy
+    return out
+
+
+def _score_order(items) -> np.ndarray:
+    """Stable descending-score order — same ordering as the reference's
+    `sorted(key=score, reverse=True)`."""
+    if not items:
+        return np.empty((0,), np.intp)
+    scores = np.array([it.score for it in items], dtype=float)
+    return np.argsort(-scores, kind="stable")
+
+
+def _greedy_match_xy(
+    pred_xy: np.ndarray,
+    order: np.ndarray,
+    gt_xy: np.ndarray,
+    dist_thresh: float,
+    inclusive: bool = False,
+) -> Tuple[int, List[float]]:
+    """Greedy nearest matching with visited flags, vectorized.
+
+    Each prediction (in `order`) is assigned its *globally* nearest GT
+    (first minimum on ties, like the reference's strict `<` scan); it
+    scores a TP iff that distance beats the threshold and the GT is
+    unclaimed. Predictions whose nearest GT was already claimed get
+    nothing — they do not fall back to the second-nearest (reference
+    evaluator.py:269-283).
+
+    Returns (tp, matched distances in match order).
+    """
+    if len(pred_xy) == 0 or len(gt_xy) == 0:
+        return 0, []
+    d = np.hypot(
+        pred_xy[order, 0:1] - gt_xy[None, :, 0],
+        pred_xy[order, 1:2] - gt_xy[None, :, 1],
+    )  # (ndet, npos)
+    j_min = d.argmin(axis=1)
+    min_d = d[np.arange(len(order)), j_min]
+    hit = (min_d <= dist_thresh) if inclusive else (min_d < dist_thresh)
+
+    visited = np.zeros(len(gt_xy), bool)
+    tp = 0
+    acc: List[float] = []
+    for i in range(len(order)):
+        j = j_min[i]
+        if hit[i] and not visited[j]:
+            visited[j] = True
+            tp += 1
+            acc.append(float(min_d[i]))
+    return tp, acc
 
 
 class Evaluator:
@@ -304,46 +367,40 @@ class Evaluator:
 
     # -- metric families ------------------------------------------------
 
-    def _resize_pair(self, prediction, annotation):
-        img_size = annotation.img_size
-        net_size = (self.config.width, self.config.height)
-        return (
-            prediction.resized(net_size, img_size),
-            annotation.resized(net_size, img_size),
-            min(img_size) * self.config.dist_threshold,
-            img_size,
-        )
+    def _scales(self, annotation):
+        """Scale factors net-input -> original image, plus the matching
+        threshold in image pixels (evaluator.py:246-249)."""
+        img_w, img_h = annotation.img_size
+        sx = img_w / self.config.width
+        sy = img_h / self.config.height
+        dist_thresh = min(annotation.img_size) * self.config.dist_threshold
+        return sx, sy, dist_thresh, min(annotation.img_size)
 
     def eval_anchor(self, prediction, annotation) -> Evaluations:
-        prediction, annotation, dist_thresh, img_size = self._resize_pair(
-            prediction, annotation
-        )
+        sx, sy, dist_thresh, norm = self._scales(annotation)
         preds = dict_grouping(prediction.objects, key=lambda o: o.name)
         gts = dict_grouping(annotation.objects, key=lambda o: o.name)
 
         result = Evaluations(self.labels)
         for label in self.labels:
-            res = _greedy_match(
-                preds.get(label, []),
-                gts.get(label, []),
+            res = result[label]
+            p, g = preds.get(label, []), gts.get(label, [])
+            res.ndet, res.npos = len(p), len(g)
+            tp, acc = _greedy_match_xy(
+                _xy_array([o.anchor for o in p], sx, sy),
+                _score_order([o.anchor for o in p]),
+                _xy_array([o.anchor for o in g], sx, sy),
                 dist_thresh,
-                result[label],
-                score_key=lambda o: o.anchor.score,
-                dist_fn=lambda a, b: a.distance(b),
             )
-            res.acc = [d / min(img_size) for d in res.acc]
+            res.tp = tp
+            res.acc = [d / norm for d in acc]
         return result
 
     def eval_part(self, annotation, part_heatmap) -> Evaluations:
         """Part localization on raw pre-grouping detections
         (evaluator.py:286-334)."""
-        img_size = annotation.img_size
-        net_size = (self.config.width, self.config.height)
-        annotation = annotation.resized(net_size, img_size)
-        preds_kps = [kp.resized(net_size, img_size) for kp in part_heatmap]
-        dist_thresh = min(img_size) * self.config.dist_threshold
-
-        preds = dict_grouping(preds_kps, key=lambda kp: kp.kind)
+        sx, sy, dist_thresh, norm = self._scales(annotation)
+        preds = dict_grouping(part_heatmap, key=lambda kp: kp.kind)
         gts = dict_grouping(
             (kp for obj in annotation.objects for kp in obj.parts),
             key=lambda kp: kp.kind,
@@ -351,23 +408,23 @@ class Evaluator:
 
         result = Evaluations(self.kp_labels)
         for label in self.kp_labels:
-            res = _greedy_match(
-                preds.get(label, []),
-                gts.get(label, []),
+            res = result[label]
+            p, g = preds.get(label, []), gts.get(label, [])
+            res.ndet, res.npos = len(p), len(g)
+            tp, acc = _greedy_match_xy(
+                _xy_array(p, sx, sy),
+                _score_order(p),
+                _xy_array(g, sx, sy),
                 dist_thresh,
-                result[label],
-                score_key=lambda kp: kp.score,
-                dist_fn=lambda a, b: a.distance(b),
             )
-            res.acc = [d / min(img_size) for d in res.acc]
+            res.tp = tp
+            res.acc = [d / norm for d in acc]
         return result
 
     def eval_part_grouped(self, prediction, annotation) -> Evaluations:
         """Variant using only parts that survived grouping (the
         reference's disabled `eval_part_2`, evaluator.py:336-378)."""
-        prediction, annotation, dist_thresh, img_size = self._resize_pair(
-            prediction, annotation
-        )
+        sx, sy, dist_thresh, norm = self._scales(annotation)
         preds = dict_grouping(
             (p for o in prediction.objects for p in o.parts), key=lambda p: p.kind
         )
@@ -376,21 +433,90 @@ class Evaluator:
         )
         result = Evaluations(self.kp_labels)
         for label in self.kp_labels:
-            res = _greedy_match(
-                preds.get(label, []),
-                gts.get(label, []),
+            res = result[label]
+            p, g = preds.get(label, []), gts.get(label, [])
+            res.ndet, res.npos = len(p), len(g)
+            tp, acc = _greedy_match_xy(
+                _xy_array(p, sx, sy),
+                _score_order(p),
+                _xy_array(g, sx, sy),
                 dist_thresh,
-                result[label],
-                score_key=lambda kp: kp.score,
-                dist_fn=lambda a, b: a.distance(b),
             )
-            res.acc = [d / min(img_size) for d in res.acc]
+            res.tp = tp
+            res.acc = [d / norm for d in acc]
         return result
+
+    @staticmethod
+    def _object_arrays(obj, sx: float, sy: float):
+        """Pre-extract one object's matching data: scaled anchor position
+        and per-kind part coordinate tuples in stable descending-score
+        order (score order only matters for predictions). Plain tuples,
+        not ndarrays — per-kind part lists are tiny (<= max_parts per
+        object, usually a handful) and the CSI inner loop runs faster in
+        pure Python than through numpy dispatch."""
+        by_kind = dict_grouping(obj.parts, key=lambda kp: kp.kind)
+        parts = {}
+        for kind, kps in by_kind.items():
+            if kps and kps[0].score is not None:
+                kps = sorted(kps, key=lambda kp: kp.score, reverse=True)
+            parts[kind] = [(kp.x * sx, kp.y * sy) for kp in kps]
+        return obj.name, (obj.x * sx, obj.y * sy), parts
+
+    @staticmethod
+    def _csi_pair(pred_data, gt_data, dist_thresh) -> float:
+        """CSI of one prediction/GT object pair from pre-extracted data
+        (semantics of reference compute_csi, evaluator.py:538-581)."""
+        pred_name, pred_anchor, pred_parts = pred_data
+        gt_name, gt_anchor, gt_parts = gt_data
+        if pred_name != gt_name:
+            return 0.0
+
+        npos = ndet = 1
+        tp = int(
+            math.hypot(pred_anchor[0] - gt_anchor[0], pred_anchor[1] - gt_anchor[1])
+            < dist_thresh
+        )
+
+        for kind in gt_parts.keys() | pred_parts.keys():
+            p = pred_parts.get(kind, ())
+            g = gt_parts.get(kind, ())
+            npos += len(g)
+            ndet += len(p)
+            if not p or not g:
+                continue
+            # greedy scan, first minimum wins (reference evaluator.py:559-576)
+            visited = [False] * len(g)
+            for px, py in p:
+                min_d = math.inf
+                j_min = -1
+                for j, (gx, gy) in enumerate(g):
+                    d = math.hypot(px - gx, py - gy)
+                    if d < min_d:
+                        min_d = d
+                        j_min = j
+                if min_d < dist_thresh and not visited[j_min]:
+                    visited[j_min] = True
+                    tp += 1
+
+        d = npos + ndet - tp
+        return tp / d if d != 0 else 1
+
+    @staticmethod
+    def compute_csi(prediction, target, dist_thresh) -> float:
+        """Structural CSI of one predicted/GT object pair
+        (evaluator.py:538-581): anchor counts 1/1, then per-kind greedy
+        part matching; csi = tp / (npos + ndet - tp)."""
+        return Evaluator._csi_pair(
+            Evaluator._object_arrays(prediction, 1.0, 1.0),
+            Evaluator._object_arrays(target, 1.0, 1.0),
+            dist_thresh,
+        )
 
     def eval_csi(self, prediction, annotation) -> Evaluations:
         """Object-level structural CSI (evaluator.py:380-420): greedy by
-        best per-pair CSI, TP iff best >= csi_threshold."""
-        prediction, annotation, dist_thresh, _ = self._resize_pair(prediction, annotation)
+        best per-pair CSI (strict >, so the first maximum wins), TP iff
+        best >= csi_threshold."""
+        sx, sy, dist_thresh, _ = self._scales(annotation)
         preds = dict_grouping(prediction.objects, key=lambda o: o.name)
         gts = dict_grouping(annotation.objects, key=lambda o: o.name)
 
@@ -402,13 +528,18 @@ class Evaluator:
             res.ndet = len(preds_label)
             res.npos = len(gts_label)
 
-            preds_label = sorted(preds_label, key=lambda o: o.anchor.score, reverse=True)
+            order = _score_order([o.anchor for o in preds_label])
+            pred_data = [
+                self._object_arrays(preds_label[i], sx, sy) for i in order
+            ]
+            gt_data = [self._object_arrays(g, sx, sy) for g in gts_label]
+
             visited = [False] * len(gts_label)
-            for pred in preds_label:
+            for pred in pred_data:
                 best_csi = 0.0
                 idx_best = None
-                for j, gt in enumerate(gts_label):
-                    csi = Evaluator.compute_csi(pred, gt, dist_thresh)
+                for j, gt in enumerate(gt_data):
+                    csi = self._csi_pair(pred, gt, dist_thresh)
                     if csi > best_csi:
                         best_csi = csi
                         idx_best = j
@@ -424,10 +555,10 @@ class Evaluator:
 
     def eval_classif(self, prediction, annotation) -> Evaluations:
         """Composite-label classification: objects bucketed by
-        "{label}_{nb_parts}" (evaluator.py:429-474)."""
-        prediction, annotation, dist_thresh, img_size = self._resize_pair(
-            prediction, annotation
-        )
+        "{label}_{nb_parts}" (evaluator.py:429-474). Matching is by anchor
+        distance with an *inclusive* threshold — the reference uses <=
+        here (evaluator.py:469) where every other family uses <."""
+        sx, sy, dist_thresh, norm = self._scales(annotation)
         key = lambda o: f"{o.name}_{o.nb_parts}"
         preds = dict_grouping(prediction.objects, key=key)
         gts = dict_grouping(annotation.objects, key=key)
@@ -436,27 +567,17 @@ class Evaluator:
         result = Evaluations(labels)
         for label in labels:
             res = result[label]
-            preds_label = preds.get(label, [])
-            gts_label = gts.get(label, [])
-            res.ndet = len(preds_label)
-            res.npos = len(gts_label)
-
-            preds_label = sorted(preds_label, key=lambda o: o.anchor.score, reverse=True)
-            visited = [False] * len(gts_label)
-            for pred in preds_label:
-                best_dist = sys.float_info.max
-                idx_best = None
-                for i, gt in enumerate(gts_label):
-                    d = pred.distance(gt)
-                    if d < best_dist:
-                        best_dist = d
-                        idx_best = i
-                # NOTE: <= here (the reference uses <= for classif,
-                # evaluator.py:469, vs < elsewhere)
-                if idx_best is not None and best_dist <= dist_thresh and not visited[idx_best]:
-                    visited[idx_best] = True
-                    res.tp += 1
-                    res.acc.append(best_dist / min(img_size))
+            p, g = preds.get(label, []), gts.get(label, [])
+            res.ndet, res.npos = len(p), len(g)
+            tp, acc = _greedy_match_xy(
+                _xy_array([o.anchor for o in p], sx, sy),
+                _score_order([o.anchor for o in p]),
+                _xy_array([o.anchor for o in g], sx, sy),
+                dist_thresh,
+                inclusive=True,
+            )
+            res.tp = tp
+            res.acc = [d / norm for d in acc]
         return result
 
     def eval_classif_strict(self, prediction, annotation) -> Evaluations:
@@ -466,13 +587,12 @@ class Evaluator:
         agree, and record part-count confusion pairs in `count_errors`
         (feeding `Evaluation.save_conf_matrix`). TP only when the part
         count also agrees."""
-        prediction, annotation, dist_thresh, img_size = self._resize_pair(
-            prediction, annotation
-        )
+        sx, sy, dist_thresh, norm = self._scales(annotation)
         key = lambda o: f"{o.name}_{o.nb_parts}"
         preds = dict_grouping(prediction.objects, key=key)
         gts_by_label = dict_grouping(annotation.objects, key=key)
         gts = annotation.objects
+        gt_xy = _xy_array([o.anchor for o in gts], sx, sy)
         visited = [False] * len(gts)
 
         labels = self.get_classification_labels()
@@ -483,21 +603,22 @@ class Evaluator:
             res.ndet = len(preds_label)
             res.npos = len(gts_by_label.get(label, []))
 
-            preds_label = sorted(preds_label, key=lambda o: o.anchor.score, reverse=True)
-            for pred in preds_label:
-                best_dist = sys.float_info.max
-                idx_best = None
-                for i, gt in enumerate(gts):
-                    d = pred.distance(gt)
-                    if d < best_dist:
-                        best_dist = d
-                        idx_best = i
-                if (
-                    idx_best is None
-                    or best_dist > dist_thresh
-                    or visited[idx_best]
-                    or pred.name not in gts[idx_best].name
-                ):
+            order = _score_order([o.anchor for o in preds_label])
+            if len(order) == 0 or len(gts) == 0:
+                continue
+            p_xy = _xy_array([o.anchor for o in preds_label], sx, sy)[order]
+            d = np.hypot(
+                p_xy[:, 0:1] - gt_xy[None, :, 0], p_xy[:, 1:2] - gt_xy[None, :, 1]
+            )
+            j_min = d.argmin(axis=1)
+            min_d = d[np.arange(len(order)), j_min]
+
+            for i, oi in enumerate(order):
+                pred = preds_label[oi]
+                idx_best = int(j_min[i])
+                if min_d[i] > dist_thresh or visited[idx_best]:
+                    continue
+                if pred.name not in gts[idx_best].name:
                     continue
                 if pred.nb_parts != gts[idx_best].nb_parts:
                     res.count_errors.append(
@@ -506,51 +627,11 @@ class Evaluator:
                     continue
                 visited[idx_best] = True
                 res.tp += 1
-                res.acc.append(best_dist / min(img_size))
+                res.acc.append(float(min_d[i]) / norm)
                 res.count_errors.append(
                     (pred.name, pred.nb_parts, gts[idx_best].nb_parts)
                 )
         return result
-
-    @staticmethod
-    def compute_csi(prediction, target, dist_thresh) -> float:
-        """Structural CSI of one predicted/GT object pair
-        (evaluator.py:538-581): anchor counts 1/1, then per-kind greedy
-        part matching; csi = tp / (npos + ndet - tp)."""
-        if prediction.name != target.name:
-            return 0.0
-
-        preds_kp = dict_grouping(prediction.parts, key=lambda kp: kp.kind)
-        gts_kp = dict_grouping(target.parts, key=lambda kp: kp.kind)
-
-        e = Evaluation()
-        e.npos += 1
-        e.ndet += 1
-        e.tp += int(
-            prediction.distance(target) < dist_thresh and prediction.name == target.name
-        )
-
-        for kind in gts_kp.keys() | preds_kp.keys():
-            preds_label = sorted(
-                preds_kp.get(kind, []), key=lambda kp: kp.score, reverse=True
-            )
-            gts_label = gts_kp.get(kind, [])
-            e.npos += len(gts_label)
-            e.ndet += len(preds_label)
-
-            visited = [False] * len(gts_label)
-            for pred_kp in preds_label:
-                min_dist = sys.float_info.max
-                j_min = None
-                for j, gt_kp in enumerate(gts_label):
-                    d = pred_kp.distance(gt_kp)
-                    if d < min_dist:
-                        min_dist = d
-                        j_min = j
-                if min_dist < dist_thresh and not visited[j_min]:
-                    visited[j_min] = True
-                    e.tp += 1
-        return e.csi
 
     # -- reporting ------------------------------------------------------
 
@@ -576,16 +657,17 @@ class Evaluator:
             rprint(table)
 
     def _csv_kps_str(self) -> str:
-        content = []
+        """Per-kind keypoint metrics as CSV rows
+        (label,recall,precision,f1,mean localization accuracy) — the
+        reference's `--save_csv_eval` data format (evaluator.py:606-626)."""
+        rows = []
         evals = self.kps_eval
         for label in sorted(evals.labels):
             e = evals[label]
-            content.append(
-                ",".join(
-                    (label, str(e.recall), str(e.precision), str(e.f1_score), str(e.avg_acc))
-                )
+            rows.append(
+                f"{label},{e.recall},{e.precision},{e.f1_score},{e.avg_acc}"
             )
-        return "\n".join(content)
+        return "\n".join(rows)
 
     def save_kps_csv(self, path: Path):
         Path(path).write_text(self._csv_kps_str())

@@ -66,6 +66,23 @@ def test_evaluations_union_merge():
     assert m["x"].tp == 1 and m["z"].ndet == 4
 
 
+def test_evaluations_inplace_union_merge():
+    """`|=` — the reference's own __ior__ (evaluator.py:180-185) crashes
+    on plain dicts; ours must behave like `a = a | b`."""
+    a = Evaluations(["x", "y"])
+    b = Evaluations(["y", "z"])
+    a["x"].tp = a["x"].npos = a["x"].ndet = 1
+    a["y"].npos = 2
+    b["y"].npos = 3
+    b["z"].ndet = 4
+    expected = a | b
+    a |= b
+    assert set(a.labels) == set(expected.labels) == {"x", "y", "z"}
+    for label in a.labels:
+        got, want = a[label], expected[label]
+        assert (got.tp, got.npos, got.ndet) == (want.tp, want.npos, want.ndet)
+
+
 def test_evaluations_reduce():
     evs = Evaluations(["x", "y"])
     evs["x"].tp = evs["x"].npos = evs["x"].ndet = 2
