@@ -21,13 +21,17 @@ def main(argv=None):
     config = config_from_args(argv)
     assert config.valid_dir, "evaluate requires --valid_dir (annotated validation samples)"
     assert config.pretrained_model, (
-        "No pretrained model specified. Use the option '--load_model <model_path>'."
+        "evaluate requires a trained model — pass --load_model <model_path>"
     )
 
+    from ..data.pipeline import choose_batch_fetch
+
     evaluator = Evaluator(config)
-    dataset = CropDataset(config, config.valid_dir, ValidationAugmentation(config))
+    augmentation = ValidationAugmentation(config)
+    dataset = CropDataset(config, config.valid_dir, augmentation)
     loader = Loader(dataset, batch_size=config.eval_batch_size,
-                    num_workers=config.num_workers)
+                    num_workers=config.num_workers,
+                    batch_fetch=choose_batch_fetch(config, dataset, augmentation))
 
     model, init_vars = init_model(config)
     variables = resolve_variables(config.pretrained_model, init_vars)

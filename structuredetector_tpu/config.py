@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 from pathlib import Path
 from typing import Dict, Optional, Tuple
 
@@ -68,7 +69,9 @@ class Config:
     profile: bool = False
 
     seed: int = DEFAULT_SEED
-    num_workers: int = 0  # host-side prefetch threads (0 = synchronous)
+    # host-side loader threads; -1 = auto, min(cpu_count, 4) like the
+    # reference (args.py:251). 0 = fully synchronous loading.
+    num_workers: int = -1
     # Native C++ IO fast path (fused decode+resize+normalize; see
     # native/sdnet_io.cpp). Off by default: its bilinear resampling
     # differs slightly from PIL's, which matters for strict eval parity.
@@ -155,8 +158,10 @@ class Config:
         assert 0 < self.sigma_gauss <= 1
         if self.hm_loss_fn.lower() not in {"focal", "mse"}:
             raise ValueError(
-                f"'hm_loss_fn' should either be 'focal' or 'mse', not {self.hm_loss_fn}."
+                f"unknown hm_loss_fn {self.hm_loss_fn!r}: pick 'focal' or 'mse'"
             )
+        if self.num_workers < 0:  # auto: reference num_workers policy (args.py:251)
+            self.num_workers = min(os.cpu_count() or 1, 4)
         return self
 
     def load_labels(self) -> "Config":

@@ -219,6 +219,48 @@ class Flatten:
         return {"image": image, "keypoints": kp, "annotation": target}
 
 
+def _native_load_and_flatten(
+    config, paths, targets, size, normalize: bool, n_threads: int
+):
+    """Whole-batch native path: one C++ call decodes/resizes/normalizes
+    every image on its own thread pool into a contiguous NHWC buffer,
+    then annotations are resized and flattened exactly like the PIL
+    path. Returns a collated batch dict."""
+    from . import native
+    from .pipeline import FlatKeypoints
+
+    w, h = size
+    images, orig, ok = native.load_batch(
+        paths, w, h, n_threads=n_threads, normalize=normalize
+    )
+    if not ok.all():
+        bad = [str(p) for p, good in zip(paths, ok) if not good]
+        raise IOError(f"native decode failed for: {bad}")
+
+    out_w, out_h = int(w / config.down_ratio), int(h / config.down_ratio)
+    kps, annotations = [], []
+    for target, (ow, oh) in zip(targets, orig):
+        target.img_size = (int(ow), int(oh))
+        annotation = target.resized(target.img_size, (w, h))
+        kps.append(
+            flatten_annotation(
+                annotation,
+                labels=config.labels,
+                parts=config.parts,
+                max_objects=config.max_objects,
+                max_parts=config.max_parts,
+                in_size=(w, h),
+                out_size=(out_w, out_h),
+            )
+        )
+        annotations.append(annotation)
+
+    keypoints = FlatKeypoints(
+        *(np.stack([getattr(k, f) for k in kps]) for f in FlatKeypoints._fields)
+    )
+    return {"image": images, "keypoints": keypoints, "annotation": annotations}
+
+
 class TrainAugmentation:
     ratios = MULTISCALE_RATIOS  # transforms.py:212
 
@@ -274,6 +316,24 @@ class TrainAugmentation:
         annotation = target.resized(orig_size, (w, h))
         return Flatten(cfg)(arr, annotation)
 
+    def supports_native_batch(self) -> bool:
+        """The whole-batch native loader covers the modes where the host
+        does no per-pixel augmentation: no_augmentation (plain
+        resize+normalize) and device_augment (raw [0,1] feed, jitter and
+        flips run inside the train step). Host-side PIL augmentation
+        keeps the per-sample path."""
+        return self.config.no_augmentation or self.device_augment
+
+    def native_batch_apply(self, paths, targets, n_threads: int = 4):
+        assert self.supports_native_batch(), (
+            "whole-batch native loading requires no_augmentation or "
+            "device-augment mode"
+        )
+        return _native_load_and_flatten(
+            self.config, paths, targets, self.current_size,
+            normalize=not self.device_augment, n_threads=n_threads,
+        )
+
     def trigger_random_resize(self):
         """Re-roll the input resolution for the next epoch
         (transforms.py:237-244); sizes snap to multiples of 32."""
@@ -308,6 +368,16 @@ class ValidationAugmentation:
         target.img_size = orig_size
         annotation = target.resized(orig_size, (cfg.width, cfg.height))
         return Flatten(cfg)(arr, annotation)
+
+    def supports_native_batch(self) -> bool:
+        return True
+
+    def native_batch_apply(self, paths, targets, n_threads: int = 4):
+        cfg = self.config
+        return _native_load_and_flatten(
+            cfg, paths, targets, (cfg.width, cfg.height),
+            normalize=True, n_threads=n_threads,
+        )
 
 
 class RawImage:

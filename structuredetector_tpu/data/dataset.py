@@ -46,6 +46,13 @@ class CropDataset:
     def __len__(self):
         return len(self.files)
 
+    def raw_item(self, index):
+        """(image_path, annotation) without decoding the image — the
+        feed for the whole-batch native loader, which decodes and stamps
+        original sizes itself."""
+        annotation = ImageAnnotation.from_json(self.files[index], self.config.anchor_name)
+        return annotation.image_path, annotation
+
     def __getitem__(self, index):
         annotation = ImageAnnotation.from_json(self.files[index], self.config.anchor_name)
 

@@ -100,9 +100,12 @@ def load_image(
 def load_batch(
     paths: Sequence, out_w: int, out_h: int,
     flips: Optional[np.ndarray] = None, n_threads: int = 4,
+    normalize: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Threaded batch decode -> ((N, out_h, out_w, 3) float32,
-    orig sizes (N, 2) int32, ok flags (N,) bool)."""
+    orig sizes (N, 2) int32, ok flags (N,) bool). normalize=True applies
+    ImageNet mean/std; False yields raw [0, 1] pixels (the feed for
+    on-device augmentation)."""
     lib = _load()
     assert lib is not None, "native IO library not built (make -C native)"
     n = len(paths)
@@ -114,11 +117,12 @@ def load_batch(
         if flips is not None
         else np.zeros((n, 2), np.int32)
     )
+    mean, std = (_MEAN, _STD) if normalize else (_RAW01_MEAN, _RAW01_STD)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
     lib.sdnet_load_batch(
         c_paths, n, out_w, out_h,
         flips_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        _fptr(_MEAN), _fptr(_STD), _fptr(out),
+        _fptr(mean), _fptr(std), _fptr(out),
         orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n_threads,

@@ -112,12 +112,23 @@ def collate(samples: Sequence[dict]) -> dict:
 
 
 class Loader:
-    """Minimal batching iterator with optional background prefetch.
+    """Batching iterator with a real worker pool.
 
     Replaces torch DataLoader (reference trainer.py:62-87). `dataset`
     must be indexable; transform applied in `dataset.__getitem__`.
-    With `num_workers > 0`, sample loading runs in that many Python
-    threads (PIL decode releases the GIL) and batches are staged ahead.
+
+    Two loading strategies:
+    - per-sample (default): with `num_workers > 0`, every sample load is
+      a task on a `num_workers`-thread pool (JPEG decode in PIL and the
+      numpy work release the GIL); up to `prefetch_batches` batches of
+      sample futures stay in flight, and batches are yielded strictly in
+      index order.
+    - whole-batch (`batch_fetch`): a callable `(indices) -> batch dict`
+      that fabricates the entire batch at once — the hook for the native
+      C++ loader (`data.native.load_batch`), which decodes and resizes a
+      full batch on its own no-GIL thread pool into one contiguous
+      buffer. Batches are staged ahead on a single coordinator thread
+      (the parallelism lives inside the native call).
     """
 
     def __init__(
@@ -129,6 +140,8 @@ class Loader:
         num_workers: int = 0,
         seed: int = 0,
         collate_fn=collate,
+        batch_fetch=None,
+        prefetch_batches: int = 4,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -136,6 +149,8 @@ class Loader:
         self.drop_last = drop_last
         self.num_workers = num_workers
         self.collate_fn = collate_fn
+        self.batch_fetch = batch_fetch
+        self.prefetch_batches = max(1, prefetch_batches)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -158,18 +173,49 @@ class Loader:
 
     def __iter__(self):
         batches = self._index_batches()
-        if self.num_workers <= 0:
+        if self.batch_fetch is not None:
+            yield from self._iter_batch_fetch(batches)
+        elif self.num_workers <= 0:
             for idxs in batches:
                 yield self.collate_fn([self.dataset[i] for i in idxs])
-            return
+        else:
+            yield from self._iter_pool(batches)
 
-        q: "queue.Queue" = queue.Queue(maxsize=4)
+    def _iter_pool(self, batches):
+        """Per-sample loads fanned out over a thread pool, ordered
+        batch assembly, bounded look-ahead."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            inflight: "collections.deque" = collections.deque()
+            it = iter(batches)
+
+            def stage_next():
+                idxs = next(it, None)
+                if idxs is not None:
+                    inflight.append([pool.submit(self.dataset.__getitem__, i) for i in idxs])
+
+            for _ in range(self.prefetch_batches):
+                stage_next()
+            while inflight:
+                futures = inflight.popleft()
+                samples = [f.result() for f in futures]
+                stage_next()
+                yield self.collate_fn(samples)
+
+    def _iter_batch_fetch(self, batches):
+        """Whole-batch fabrication staged ahead on a coordinator thread;
+        the heavy lifting parallelizes inside `batch_fetch` itself."""
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = object()
 
         def producer():
             try:
                 for idxs in batches:
-                    q.put(self.collate_fn([self.dataset[i] for i in idxs]))
+                    q.put(self.batch_fetch(idxs))
+            except BaseException as e:  # surface errors on the consumer
+                q.put(e)
             finally:
                 q.put(stop)
 
@@ -179,8 +225,43 @@ class Loader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
         t.join()
+
+
+def native_batch_fetch(dataset, transform, n_threads: int = 4):
+    """Build a `Loader(batch_fetch=...)` callable backed by the native
+    C++ batch loader: annotations are parsed on the coordinator thread
+    (no image decode), then one `native.load_batch` call fills the whole
+    NHWC image buffer with `n_threads` C++ threads outside the GIL."""
+
+    def fetch(indices):
+        pairs = [dataset.raw_item(i) for i in indices]
+        return transform.native_batch_apply(
+            [p for p, _ in pairs], [t for _, t in pairs], n_threads=n_threads
+        )
+
+    return fetch
+
+
+def choose_batch_fetch(config, dataset, transform):
+    """The Loader's whole-batch native path when the config asks for it,
+    the library is built, and the transform mode supports it; else None
+    (per-sample PIL path)."""
+    if not getattr(config, "native_io", False):
+        return None
+    from . import native
+
+    if not native.available():
+        return None
+    supports = getattr(transform, "supports_native_batch", None)
+    if supports is None or not supports():
+        return None
+    return native_batch_fetch(
+        dataset, transform, n_threads=max(2, config.num_workers or 4)
+    )
 
 
 def device_prefetch(iterator, size: int = 2):

@@ -30,7 +30,7 @@ import numpy as np
 from ..data.augment import TrainAugmentation, ValidationAugmentation
 from ..data.dataset import CropDataset
 from ..data.decoders import Decoder
-from ..data.pipeline import Loader, device_prefetch
+from ..data.pipeline import Loader, choose_batch_fetch, device_prefetch
 from ..evaluation import Evaluator
 from ..models import init_model
 from ..parallel.mesh import create_mesh
@@ -101,13 +101,17 @@ class Trainer:
             drop_last=True,
             num_workers=config.num_workers,
             seed=config.seed,
+            batch_fetch=choose_batch_fetch(
+                config, self.train_set, self.train_augmentation
+            ),
         )
-        self.valid_set = CropDataset(
-            config, config.valid_dir, ValidationAugmentation(config)
-        )
+        valid_augmentation = ValidationAugmentation(config)
+        self.valid_set = CropDataset(config, config.valid_dir, valid_augmentation)
         self.valid_set.localize_image_names()
-        self.valid_loader = Loader(self.valid_set, batch_size=1,
-                                   num_workers=config.num_workers)
+        self.valid_loader = Loader(
+            self.valid_set, batch_size=1, num_workers=config.num_workers,
+            batch_fetch=choose_batch_fetch(config, self.valid_set, valid_augmentation),
+        )
 
         steps_per_epoch = max(1, len(self.train_loader))
         self.lr_schedule = make_lr_schedule(config, steps_per_epoch)

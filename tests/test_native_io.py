@@ -114,3 +114,102 @@ def test_load_image_raw01(png_file):
     normed, _ = native.load_image(png_file, 70, 50, normalize=True)
     want = (out - IMAGENET_MEAN) / IMAGENET_STD
     np.testing.assert_allclose(normed, want, atol=1e-5)
+
+
+def test_load_batch_raw01(tmp_path, rng):
+    arr = (rng.random((40, 60, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "raw.png"
+    Image.fromarray(arr).save(p)
+    out, _, ok = native.load_batch([p, p], 60, 40, normalize=False)
+    assert ok.all()
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    single, _ = native.load_image(p, 60, 40, normalize=False)
+    np.testing.assert_allclose(out[0], single, atol=1e-6)
+
+
+def _write_dataset(tmp_path, rng, n=5):
+    import json
+
+    for i in range(n):
+        w, h = 64 + 4 * i, 48 + 4 * i
+        arr = smooth_image(h, w)  # noise diverges under different resamplers
+        img = tmp_path / f"s{i}.png"
+        Image.fromarray(arr).save(img)
+        objs = [{
+            "label": "bean", "box": None,
+            "parts": [
+                {"kind": "stem", "location": {"x": w / 3, "y": h / 3}, "score": None},
+                {"kind": "leaf", "location": {"x": w / 2, "y": h / 2}, "score": None},
+            ],
+        }]
+        (tmp_path / f"s{i}.json").write_text(json.dumps({
+            "image_path": str(img), "img_size": [w, h], "objects": objs}))
+    return tmp_path
+
+
+def test_native_batch_loader_matches_pil_path(tmp_path, rng):
+    """The whole-batch native loader must produce the same keypoints /
+    annotations as the per-sample PIL path, and near-identical pixels
+    (PNG at unchanged... rather resized: bilinear kernels differ slightly)."""
+    from structuredetector_tpu.config import Config
+    from structuredetector_tpu.data.augment import ValidationAugmentation
+    from structuredetector_tpu.data.dataset import CropDataset
+    from structuredetector_tpu.data.pipeline import Loader, native_batch_fetch
+
+    _write_dataset(tmp_path, rng)
+    cfg = Config(width=32, height=32, max_objects=4, max_parts=8)
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    cfg.anchor_name = "stem"
+
+    aug = ValidationAugmentation(cfg)
+    ds = CropDataset(cfg, tmp_path, aug)
+    pil_batches = list(Loader(ds, batch_size=2))
+    nat_batches = list(
+        Loader(ds, batch_size=2, batch_fetch=native_batch_fetch(ds, aug, n_threads=2))
+    )
+
+    assert len(pil_batches) == len(nat_batches)
+    for pb, nb in zip(pil_batches, nat_batches):
+        assert pb["image"].shape == nb["image"].shape
+        assert np.abs(pb["image"] - nb["image"]).mean() < 0.15
+        for f in pb["keypoints"]._fields:
+            np.testing.assert_allclose(
+                getattr(pb["keypoints"], f), getattr(nb["keypoints"], f), atol=1e-5
+            )
+        for pa, na in zip(pb["annotation"], nb["annotation"]):
+            assert pa.img_size == na.img_size
+            assert len(pa.objects) == len(na.objects)
+
+
+def test_choose_batch_fetch_gating(tmp_path, rng):
+    from structuredetector_tpu.config import Config
+    from structuredetector_tpu.data.augment import (
+        TrainAugmentation,
+        ValidationAugmentation,
+    )
+    from structuredetector_tpu.data.dataset import CropDataset
+    from structuredetector_tpu.data.pipeline import choose_batch_fetch
+
+    _write_dataset(tmp_path, rng, n=2)
+    cfg = Config(width=32, height=32, native_io=True)
+    cfg.set_labels(["bean"], ["leaf"])
+    cfg.anchor_name = "stem"
+
+    val = ValidationAugmentation(cfg)
+    ds = CropDataset(cfg, tmp_path, val)
+    assert choose_batch_fetch(cfg, ds, val) is not None
+
+    # host-side PIL augmentation cannot use the whole-batch loader
+    cfg_host = Config(width=32, height=32, native_io=True, device_augment=False)
+    cfg_host.set_labels(["bean"], ["leaf"])
+    train_host = TrainAugmentation(cfg_host)
+    assert choose_batch_fetch(cfg_host, ds, train_host) is None
+
+    # device-augment training path can
+    train_dev = TrainAugmentation(cfg)
+    assert choose_batch_fetch(cfg, ds, train_dev) is not None
+
+    # native_io off -> no native path
+    cfg_off = Config(width=32, height=32, native_io=False)
+    cfg_off.set_labels(["bean"], ["leaf"])
+    assert choose_batch_fetch(cfg_off, ds, val) is None

@@ -126,3 +126,74 @@ def test_loader_prefetch_threads():
     loader = Loader(_ToyDataset(9), batch_size=2, num_workers=2)
     vals = sorted(float(b["image"][0, 0, 0, 0]) for b in loader)
     assert len(vals) == 5
+
+
+def test_loader_pool_preserves_batch_order():
+    """Worker-pool loading must yield batches in index order even when
+    sample load times are adversarial."""
+    import time
+
+    class _SlowFirst(_ToyDataset):
+        def __getitem__(self, i):
+            if i == 0:
+                time.sleep(0.05)  # first sample finishes last
+            return super().__getitem__(i)
+
+    loader = Loader(_SlowFirst(8), batch_size=2, num_workers=4)
+    vals = [float(b["image"][0, 0, 0, 0]) for b in loader]
+    assert vals == [0.0, 2.0, 4.0, 6.0]
+
+
+def test_loader_pool_uses_multiple_workers():
+    """num_workers loads really run concurrently (the round-1
+    implementation ran everything on one producer thread)."""
+    import threading
+    import time
+
+    seen = set()
+    barrier = threading.Barrier(3, timeout=5)
+
+    class _Blocking(_ToyDataset):
+        def __getitem__(self, i):
+            seen.add(threading.get_ident())
+            if i < 3:
+                barrier.wait()  # deadlocks unless 3 loads run in parallel
+            return super().__getitem__(i)
+
+    loader = Loader(_Blocking(6), batch_size=3, num_workers=3)
+    t0 = time.monotonic()
+    list(loader)
+    assert time.monotonic() - t0 < 5
+    assert len(seen) >= 2
+
+
+def test_loader_pool_propagates_errors():
+    class _Boom(_ToyDataset):
+        def __getitem__(self, i):
+            if i == 3:
+                raise RuntimeError("bad sample")
+            return super().__getitem__(i)
+
+    with pytest.raises(RuntimeError, match="bad sample"):
+        list(Loader(_Boom(6), batch_size=2, num_workers=2))
+
+
+def test_loader_batch_fetch_path():
+    calls = []
+
+    def fetch(idxs):
+        calls.append(list(idxs))
+        return {"image": np.full((len(idxs), 2, 2, 3), idxs[0], np.float32)}
+
+    loader = Loader(_ToyDataset(6), batch_size=2, batch_fetch=fetch)
+    batches = list(loader)
+    assert calls == [[0, 1], [2, 3], [4, 5]]
+    assert [float(b["image"][0, 0, 0, 0]) for b in batches] == [0.0, 2.0, 4.0]
+
+
+def test_loader_batch_fetch_propagates_errors():
+    def fetch(idxs):
+        raise IOError("decode failed")
+
+    with pytest.raises(IOError, match="decode failed"):
+        list(Loader(_ToyDataset(4), batch_size=2, batch_fetch=fetch))
