@@ -80,6 +80,9 @@ class Config:
     # (host only decodes+resizes). Disable for the reference's host-side
     # PIL augmentation path.
     device_augment: bool = True
+    # Warm-start the encoder from a locally cached torchvision ImageNet
+    # resnet34 checkpoint (reference network.py:41 `pretrained=True`).
+    pretrained_backbone: bool = False
     debug_nans: bool = False  # enable jax_debug_nans (SURVEY.md §5)
     resume_dir: Optional[Path] = None  # trainings/<ts> dir to resume from
     # evaluation device batch (metrics identical; >1 amortizes dispatch)
@@ -264,9 +267,14 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="CSI threshold for evaluation, in [0, 1].")
     p.add_argument("--save_csv_eval", dest="csv_path", type=Path, default=None)
     p.add_argument("--amp", action="store_true", dest="amp_flag",
-                   help="(reference-compat) mixed precision; bf16 compute is already "
-                        "the default on TPU. Use --no_amp to force fp32.")
+                   help="Mixed precision (bf16 compute) — the TPU default, so this "
+                        "flag confirms it; conflicts with --no_amp.")
     p.add_argument("--no_amp", action="store_true", help="Force fp32 compute.")
+    p.add_argument("--pretrained", action="store_true", dest="pretrained_backbone",
+                   help="Warm-start the ResNet34 encoder from a locally cached "
+                        "torchvision ImageNet checkpoint (searched in "
+                        "$SDNET_PRETRAINED, then $TORCH_HOME/hub/checkpoints; "
+                        "reference default behavior, network.py:41).")
     p.add_argument("--data_parallel", type=int, default=d.data_parallel,
                    help="Devices on the data-parallel mesh axis (0 = all).")
     p.add_argument("--model_parallel", type=int, default=d.model_parallel,
@@ -294,7 +302,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
 
 
 def config_from_args(argv=None) -> Config:
-    ns = build_parser().parse_args(argv)
+    parser = build_parser()
+    ns = parser.parse_args(argv)
+    if ns.amp_flag and ns.no_amp:
+        parser.error("--amp and --no_amp are mutually exclusive")
     cfg = Config(
         train_dir=_opt_path(ns.train_dir),
         valid_dir=_opt_path(ns.valid_dir),
@@ -331,6 +342,7 @@ def config_from_args(argv=None) -> Config:
         num_workers=ns.num_workers,
         native_io=ns.native_io,
         device_augment=not ns.host_augment,
+        pretrained_backbone=ns.pretrained_backbone,
         debug_nans=ns.debug_nans,
         resume_dir=_opt_path(ns.resume_dir),
         eval_batch_size=max(1, ns.eval_batch_size),

@@ -142,6 +142,8 @@ class Loader:
         collate_fn=collate,
         batch_fetch=None,
         prefetch_batches: int = 4,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -151,6 +153,15 @@ class Loader:
         self.collate_fn = collate_fn
         self.batch_fetch = batch_fetch
         self.prefetch_batches = max(1, prefetch_batches)
+        # multi-host: batch_size is the GLOBAL batch; this process loads
+        # its contiguous slice of every global batch (parallel.multihost)
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
+        if self.process_count > 1:
+            assert batch_size % self.process_count == 0, (
+                f"global batch {batch_size} must divide by "
+                f"process_count {process_count}"
+            )
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -162,6 +173,7 @@ class Loader:
     def _index_batches(self) -> List[List[int]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
+            # identically seeded on every process -> same global order
             self._rng.shuffle(order)
         batches = [
             list(order[i : i + self.batch_size])
@@ -169,6 +181,15 @@ class Loader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        if self.process_count > 1:
+            from ..parallel.multihost import process_slice
+
+            batches = [
+                local
+                for b in batches
+                if (local := process_slice(b, self.process_index, self.process_count))
+                is not None
+            ]
         return batches
 
     def __iter__(self):

@@ -133,6 +133,43 @@ def convert_sdnet_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def find_imagenet_resnet34() -> "Path":
+    """Locate a torchvision ImageNet resnet34 checkpoint in the standard
+    local caches (the reference downloads it implicitly via
+    `pretrained=True`, network.py:41; this environment has no network
+    egress, so the file must already be on disk).
+
+    Search order:
+      1. $SDNET_PRETRAINED — explicit file path,
+      2. $TORCH_HOME/hub/checkpoints/resnet34-*.pth,
+      3. ~/.cache/torch/hub/checkpoints/resnet34-*.pth.
+    """
+    import os
+    from pathlib import Path
+
+    explicit = os.environ.get("SDNET_PRETRAINED")
+    if explicit:
+        p = Path(explicit)
+        if p.is_file():
+            return p
+        raise FileNotFoundError(
+            f"$SDNET_PRETRAINED points at '{p}', which does not exist"
+        )
+
+    torch_home = Path(os.environ.get("TORCH_HOME", Path.home() / ".cache" / "torch"))
+    hits = sorted((torch_home / "hub" / "checkpoints").glob("resnet34-*.pth"))
+    if hits:
+        return hits[0]
+
+    raise FileNotFoundError(
+        "--pretrained: no ImageNet resnet34 checkpoint found. Place "
+        "torchvision's resnet34 weights (e.g. resnet34-b627a593.pth from "
+        "https://download.pytorch.org/models/) under "
+        f"{torch_home / 'hub' / 'checkpoints'}/, or set $SDNET_PRETRAINED "
+        "(or $TORCH_HOME), or pass the file directly via --load_model."
+    )
+
+
 def load_torch_checkpoint(path) -> Dict[str, Any]:
     """Unpickle a `.pth` and convert. Detects reference-SDNet vs raw
     torchvision-resnet34 naming."""

@@ -76,7 +76,12 @@ class MetricsWriter:
 class Trainer:
     def __init__(self, config, log: bool = True):
         self.config = config
-        self.log = log
+        # multi-host: process 0 owns logging/checkpoint IO; every process
+        # loads its slice of each global batch (parallel.multihost)
+        self.process_index = jax.process_index()
+        self.process_count = jax.process_count()
+        self.is_lead = self.process_index == 0
+        self.log = log and self.is_lead
 
         self.mesh = create_mesh(config.data_parallel, config.model_parallel)
         self.model, variables = init_model(config)
@@ -86,6 +91,16 @@ class Trainer:
             from ..models.network import resolve_variables
 
             variables = resolve_variables(config.pretrained_model, variables)
+        elif getattr(config, "pretrained_backbone", False):
+            # reference `pretrained=True` default (network.py:41): find a
+            # locally cached torchvision ImageNet resnet34 and bridge it
+            from ..models.network import resolve_variables
+            from ..models.torch_bridge import find_imagenet_resnet34
+
+            path = find_imagenet_resnet34()
+            variables = resolve_variables(path, variables)
+            if self.is_lead:
+                print(f"Warm-started encoder from {path}")
 
         self.decoder = Decoder(config)
         self.evaluator = Evaluator(config)
@@ -104,6 +119,8 @@ class Trainer:
             batch_fetch=choose_batch_fetch(
                 config, self.train_set, self.train_augmentation
             ),
+            process_index=self.process_index,
+            process_count=self.process_count,
         )
         valid_augmentation = ValidationAugmentation(config)
         self.valid_set = CropDataset(config, config.valid_dir, valid_augmentation)
@@ -124,8 +141,8 @@ class Trainer:
         else:
             self.save_dir = Path("trainings") / f"{datetime.now():%Y-%m-%d_%H-%M-%S}"
             self.save_dir.mkdir(parents=True, exist_ok=True)
-        self.writer = MetricsWriter(self.save_dir / "tb") if log else MetricsWriter.__new__(MetricsWriter)
-        if not log:
+        self.writer = MetricsWriter(self.save_dir / "tb") if self.log else MetricsWriter.__new__(MetricsWriter)
+        if not self.log:
             self.writer._w = None
         self.checkpoints = CheckpointManager(self.save_dir)
         self.best_models = BestModelSaver(self.save_dir)
@@ -134,6 +151,44 @@ class Trainer:
         self._train_steps: Dict[Tuple[int, int], object] = {}
         self._eval_step = None
         self._profiled = False
+        self._preempted = False
+
+    # -- preemption (SURVEY.md §5 failure detection) ---------------------
+
+    def _install_preemption_handlers(self):
+        """SIGTERM/SIGINT set a flag; the step loop notices at the next
+        batch boundary, saves the full train state, drains the async
+        checkpointer, and exits cleanly — so a preempted run resumes
+        exactly where it stopped (`--resume`). Handlers are installed
+        only in the main thread and restored after training."""
+        import signal
+
+        self._prev_handlers = {}
+
+        def on_signal(signum, frame):
+            self._preempted = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev_handlers[sig] = signal.signal(sig, on_signal)
+            except ValueError:  # not the main thread
+                pass
+
+    def _restore_signal_handlers(self):
+        import signal
+
+        for sig, prev in getattr(self, "_prev_handlers", {}).items():
+            signal.signal(sig, prev)
+        self._prev_handlers = {}
+
+    def _preemption_save(self):
+        if self.is_lead:
+            self.checkpoints.save_state(self.global_step, jax.device_get(self.state))
+            self.checkpoints.wait()
+            print(
+                f"Preemption: saved train state at step {int(self.state.step)} "
+                f"to {self.save_dir}; resume with --resume {self.save_dir}"
+            )
 
     # -- step caches (one compiled program per resolution bucket) -------
 
@@ -169,18 +224,24 @@ class Trainer:
             if self.resume():
                 print(f"Resumed from step {int(self.state.step)}")
 
+        self._install_preemption_handlers()
         try:
             for epoch in tqdm(range(self.config.epochs), desc="Training", unit="epoch"):
                 self.train_epoch(epoch)
+                if self._preempted:
+                    self._preemption_save()
+                    return
                 if epoch % 2 == 0:
                     self.valid()
-                self.checkpoints.save_state(
-                    self.global_step, jax.device_get(self.state)
-                )
+                if self.is_lead:
+                    self.checkpoints.save_state(
+                        self.global_step, jax.device_get(self.state)
+                    )
                 self.writer.flush()
         finally:
             # Always drain the async checkpointer — an exception mid-loop
             # must not leave orbax threads writing at interpreter exit.
+            self._restore_signal_handlers()
             self.checkpoints.wait()
             self.writer.close()
 
@@ -193,14 +254,31 @@ class Trainer:
 
         profile_this = cfg.profile and not self._profiled
 
-        batches = device_prefetch(
-            tqdm(self.train_loader, desc="Epoch", leave=False, unit="batch")
+        iterator = tqdm(
+            self.train_loader, desc="Epoch", leave=False, unit="batch",
+            disable=not self.is_lead,
         )
+        if self.process_count > 1:
+            # every process contributes its local slice of the global
+            # batch as one globally-sharded array (parallel.multihost)
+            from ..parallel.multihost import global_batch_arrays
+
+            batches = (
+                dict(b, **dict(zip(("image", "keypoints"), global_batch_arrays(
+                    self.mesh, b["image"],
+                    {f: getattr(b["keypoints"], f) for f in b["keypoints"]._fields},
+                ))))
+                for b in iterator
+            )
+        else:
+            batches = device_prefetch(iterator)
         for i, batch in enumerate(batches):
             if profile_this and i == 5:
                 jax.profiler.start_trace(str(self.save_dir / "profile"))
             images = batch["image"]
-            kp = kp_to_device_dict(batch["keypoints"])
+            kp = batch["keypoints"]
+            if not isinstance(kp, dict):
+                kp = kp_to_device_dict(kp)
             self.state, stats = step_fn(self.state, images, kp)
             if profile_this and i == 10:
                 jax.block_until_ready(self.state.params)
@@ -212,6 +290,8 @@ class Trainer:
                 host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
                 self.writer.scalars("Loss/Train", host_stats, self.global_step)
             self.global_step += cfg.batch_size
+            if self._preempted:  # SIGTERM/SIGINT: stop at the batch boundary
+                break
 
         self.writer.scalar(
             "Learning rate", float(self.lr_schedule(int(self.state.step))),
@@ -256,13 +336,14 @@ class Trainer:
         loss_avg = {k: v / max(n, 1) for k, v in loss_sums.items()}
         summary = self.evaluator.scalar_summary()
 
-        saved = self.best_models.update(
-            jax.device_get(variables),
-            loss=loss_avg.get("total_loss", float("inf")),
-            csi_f1=summary.get("csi/f1_total", 0.0),
-            classif_f1=summary.get("classif/f1_total", 0.0),
-            kp_f1=summary.get("kps/f1_total", 0.0),
-        )
+        if self.is_lead:
+            self.best_models.update(
+                jax.device_get(variables),
+                loss=loss_avg.get("total_loss", float("inf")),
+                csi_f1=summary.get("csi/f1_total", 0.0),
+                classif_f1=summary.get("classif/f1_total", 0.0),
+                kp_f1=summary.get("kps/f1_total", 0.0),
+            )
 
         if self.log:
             self.writer.scalars("Loss/Validation", loss_avg, self.global_step)

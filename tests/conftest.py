@@ -13,9 +13,11 @@ xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
 if "xla_cpu_max_isa" not in xla_flags:
-    # Cap codegen at AVX2: this VM's visible CPU features drift between
-    # hosts (AMX/AVX512 sometimes vanish) and feature-specific codegen
-    # sporadically SIGABRTs during compile.
+    # Cap codegen at AVX512: this VM's visible CPU features drift
+    # between hosts (AMX sometimes vanishes) and feature-specific
+    # codegen sporadically SIGABRTs during compile. AVX512 is the widest
+    # ISA observed stable here; capping harder (AVX2) roughly doubled
+    # compile times without eliminating the (rare) aborts.
     xla_flags = (xla_flags + " --xla_cpu_max_isa=AVX512").strip()
 os.environ["XLA_FLAGS"] = xla_flags
 

@@ -83,3 +83,54 @@ def test_cli_short_flags(tmp_path):
                             "-H", "64", "-b", "2", "-e", "5", "-t", "0.3"])
     assert cfg.anchor_name == "root" and cfg.conf_threshold == 0.3
     assert cfg.width == 64 and cfg.epochs == 5
+
+
+def test_amp_flags_conflict(tmp_path):
+    labels = tmp_path / "labels.json"
+    labels.write_text(json.dumps({"labels": ["a"], "parts": ["p"]}))
+    with pytest.raises(SystemExit):
+        config_from_args(["-m", str(labels), "--amp", "--no_amp"])
+    # each flag alone is fine and effective
+    assert config_from_args(["-m", str(labels), "--amp"]).use_amp
+    assert not config_from_args(["-m", str(labels), "--no_amp"]).use_amp
+
+
+def test_pretrained_flag_parses(tmp_path):
+    labels = tmp_path / "labels.json"
+    labels.write_text(json.dumps({"labels": ["a"], "parts": ["p"]}))
+    assert config_from_args(["-m", str(labels), "--pretrained"]).pretrained_backbone
+    assert not config_from_args(["-m", str(labels)]).pretrained_backbone
+
+
+def test_repo_ships_example_labels_json():
+    """The default labels_path must resolve against a real example file
+    (the reference ships labels.json:1-4)."""
+    import pathlib
+
+    repo_labels = pathlib.Path(__file__).parent.parent / "labels.json"
+    data = json.loads(repo_labels.read_text())
+    assert data["labels"] == ["bean", "maize"]
+    assert data["parts"] == ["leaf"]
+
+
+def test_find_imagenet_resnet34_search(tmp_path, monkeypatch):
+    from structuredetector_tpu.models.torch_bridge import find_imagenet_resnet34
+
+    monkeypatch.delenv("SDNET_PRETRAINED", raising=False)
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="resnet34"):
+        find_imagenet_resnet34()
+
+    ckpt = tmp_path / "hub" / "checkpoints" / "resnet34-b627a593.pth"
+    ckpt.parent.mkdir(parents=True)
+    ckpt.touch()
+    assert find_imagenet_resnet34() == ckpt
+
+    explicit = tmp_path / "custom.pth"
+    explicit.touch()
+    monkeypatch.setenv("SDNET_PRETRAINED", str(explicit))
+    assert find_imagenet_resnet34() == explicit
+
+    monkeypatch.setenv("SDNET_PRETRAINED", str(tmp_path / "missing.pth"))
+    with pytest.raises(FileNotFoundError, match="SDNET_PRETRAINED"):
+        find_imagenet_resnet34()

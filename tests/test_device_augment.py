@@ -19,6 +19,9 @@ from structuredetector_tpu.ops.device_augment import (
 )
 
 
+pytestmark = pytest.mark.slow  # jit-compiles augmented steps
+
+
 def test_hsv_roundtrip(rng):
     rgb = rng.random((50, 3)).astype(np.float32)
     back = np.asarray(hsv_to_rgb(rgb_to_hsv(jnp.asarray(rgb))))

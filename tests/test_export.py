@@ -14,6 +14,10 @@ from structuredetector_tpu.ops.decode import split_head_output
 from structuredetector_tpu.ops.tensor import clamped_sigmoid, plateau_nms
 
 
+
+pytestmark = pytest.mark.slow  # compile-heavy: jax.export round-trips
+
+
 def make_config():
     cfg = Config(width=32, height=32, fpn_depth=16, max_objects=2, max_parts=4,
                  use_amp=False)

@@ -8,6 +8,10 @@ import pytest
 from structuredetector_tpu.models.network import SDNet, init_model, upsample2x_nearest
 
 
+
+pytestmark = pytest.mark.slow  # compile-heavy: full ResNet34-FPN inits/forwards
+
+
 def test_upsample2x_nearest():
     x = jnp.arange(4.0).reshape(1, 2, 2, 1)
     y = np.asarray(upsample2x_nearest(x))[0, :, :, 0]
@@ -196,4 +200,68 @@ def test_bridge_loads_real_torch_pth(tiny_config, tmp_path):
     b = model.apply(bridged, x, train=False)
     np.testing.assert_allclose(
         np.asarray(a["part_hm"]), np.asarray(b["part_hm"]), atol=1e-6
+    )
+
+
+def test_pretrained_backbone_warm_start(tiny_config, tmp_path, monkeypatch):
+    """--pretrained flow: locate a torchvision-style resnet34 checkpoint
+    in $TORCH_HOME, bridge it, and warm-start only the encoder."""
+    torch = pytest.importorskip("torch")
+    from structuredetector_tpu.models.network import resolve_variables
+    from structuredetector_tpu.models.torch_bridge import find_imagenet_resnet34
+
+    model, variables = init_model(tiny_config)
+    p, s = variables["params"], variables["batch_stats"]
+
+    rng = np.random.default_rng(3)
+    sd = {}
+
+    def put_conv(key, like):
+        w = rng.normal(0, 0.05, np.transpose(np.asarray(like), (3, 2, 0, 1)).shape)
+        sd[key] = torch.from_numpy(w.astype(np.float32))
+
+    def put_bn(prefix, like_params):
+        n = np.asarray(like_params["scale"]).shape[0]
+        sd[f"{prefix}.weight"] = torch.from_numpy(rng.normal(1, 0.1, n).astype(np.float32))
+        sd[f"{prefix}.bias"] = torch.from_numpy(rng.normal(0, 0.1, n).astype(np.float32))
+        sd[f"{prefix}.running_mean"] = torch.from_numpy(rng.normal(0, 0.1, n).astype(np.float32))
+        sd[f"{prefix}.running_var"] = torch.from_numpy(np.abs(rng.normal(1, 0.1, n)).astype(np.float32))
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0)
+
+    put_conv("conv1.weight", p["encoder"]["conv1"]["kernel"])
+    put_bn("bn1", p["encoder"]["bn1"])
+    for stage, n_blocks in enumerate((3, 4, 6, 3)):
+        for b in range(n_blocks):
+            ours = f"layer{stage + 1}_{b}"
+            theirs = f"layer{stage + 1}.{b}"
+            put_conv(f"{theirs}.conv1.weight", p["encoder"][ours]["conv1"]["kernel"])
+            put_bn(f"{theirs}.bn1", p["encoder"][ours]["bn1"])
+            put_conv(f"{theirs}.conv2.weight", p["encoder"][ours]["conv2"]["kernel"])
+            put_bn(f"{theirs}.bn2", p["encoder"][ours]["bn2"])
+            if stage > 0 and b == 0:
+                put_conv(f"{theirs}.downsample.0.weight",
+                         p["encoder"][ours]["downsample_conv"]["kernel"])
+                put_bn(f"{theirs}.downsample.1", p["encoder"][ours]["downsample_bn"])
+    # classifier head present in real torchvision checkpoints, ignored by the bridge
+    sd["fc.weight"] = torch.zeros(1000, 512)
+    sd["fc.bias"] = torch.zeros(1000)
+
+    ckpt_dir = tmp_path / "hub" / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    torch.save(sd, ckpt_dir / "resnet34-b627a593.pth")
+    monkeypatch.delenv("SDNET_PRETRAINED", raising=False)
+    monkeypatch.setenv("TORCH_HOME", str(tmp_path))
+
+    path = find_imagenet_resnet34()
+    warmed = resolve_variables(path, variables)
+
+    # encoder took the checkpoint values...
+    got = np.asarray(warmed["params"]["encoder"]["conv1"]["kernel"])
+    want = np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(got, want, atol=1e-7)
+    got_bn = np.asarray(warmed["batch_stats"]["encoder"]["layer2_0"]["bn1"]["mean"])
+    np.testing.assert_allclose(got_bn, sd["layer2.0.bn1.running_mean"].numpy(), atol=1e-7)
+    # ...while the FPN/head stayed at their fresh initialization
+    np.testing.assert_array_equal(
+        np.asarray(warmed["params"]["head"]["kernel"]), np.asarray(p["head"]["kernel"])
     )

@@ -97,6 +97,7 @@ def test_load_batch(tmp_path, rng):
     np.testing.assert_allclose(out[2], single, atol=1e-6)
 
 
+@pytest.mark.slow  # 1 MP encode+decode, ~5 s on this host
 def test_jpeg_scaled_decode_large(tmp_path, rng):
     """Large image exercises the DCT-space scaled decode path."""
     arr = smooth_image(1024, 1536)

@@ -14,6 +14,10 @@ from structuredetector_tpu.train.state import create_train_state, make_optimizer
 from structuredetector_tpu.train.steps import make_train_step
 
 
+
+pytestmark = pytest.mark.slow  # compile-heavy: sharded step compilations on the fake mesh
+
+
 def make_config():
     cfg = Config(width=32, height=32, max_objects=2, max_parts=4, fpn_depth=16,
                  batch_size=4, use_amp=False)

@@ -133,6 +133,7 @@ def test_native_dataset_path(tmp_path):
     )
 
 
+@pytest.mark.slow  # compiles the full model
 def test_predictor(tmp_path):
     from structuredetector_tpu.predictor import Predictor
 
@@ -149,6 +150,7 @@ def test_predictor(tmp_path):
         assert 0 <= o.x <= 100 and 0 <= o.y <= 80
 
 
+@pytest.mark.slow  # compiles + exports the full model
 def test_export_normalization_folding(tmp_path):
     from structuredetector_tpu.export import export_model, load_exported
     from structuredetector_tpu.models import init_model

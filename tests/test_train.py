@@ -15,6 +15,8 @@ from structuredetector_tpu.train.state import (
 )
 from structuredetector_tpu.train.steps import make_eval_step, make_train_step
 
+pytestmark = pytest.mark.slow  # compile-heavy: jitted train steps
+
 
 def make_config(**kw):
     kw = {"width": 32, "height": 32, "max_objects": 2, "max_parts": 4,

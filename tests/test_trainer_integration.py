@@ -10,6 +10,10 @@ from PIL import Image, ImageDraw
 from structuredetector_tpu.config import Config
 
 
+
+pytestmark = pytest.mark.slow  # compile-heavy: full trainer loops
+
+
 def write_dataset(root, n, seed=0):
     rng = np.random.default_rng(seed)
     root.mkdir(parents=True, exist_ok=True)
@@ -82,3 +86,68 @@ def test_trainer_full_loop(dataset_dirs, monkeypatch, tmp_path):
     assert len(trainer._train_steps) >= 1
     for (h, w) in trainer._train_steps:
         assert h % 32 == 0 and w % 32 == 0
+
+
+def test_preemption_sigterm_saves_and_resumes(dataset_dirs, tmp_path):
+    """SIGTERM mid-training: the trainer must stop at a batch boundary,
+    save the full state, drain orbax, and exit cleanly; a --resume run
+    must continue from the interrupted step (SURVEY.md §5)."""
+    import re
+    import signal
+    import subprocess
+    import sys
+    import time
+    from pathlib import Path
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(f"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1 --xla_cpu_max_isa=AVX512"
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {str(Path(__file__).parent.parent)!r})
+sys.path.insert(0, {str(Path(__file__).parent)!r})
+from test_trainer_integration import make_config
+from structuredetector_tpu.train import Trainer
+
+cfg = make_config(__import__("pathlib").Path({str(dataset_dirs)!r}), epochs=200)
+resume = sys.argv[1] if len(sys.argv) > 1 else None
+if resume:
+    cfg.resume_dir = __import__("pathlib").Path(resume)
+    cfg.epochs = 1
+trainer = Trainer(cfg, log=False)
+print("STARTED", trainer.save_dir, flush=True)
+trainer.train()
+print("DONE", int(trainer.state.step), flush=True)
+""")
+
+    env = {k: v for k, v in os.environ.items() if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    proc = subprocess.Popen(
+        [sys.executable, str(worker)], cwd=tmp_path, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+    )
+    # wait for construction, give the loop a moment to enter epoch 0
+    line = proc.stdout.readline()
+    assert line.startswith("STARTED"), line
+    save_dir = line.split(None, 1)[1].strip()
+    time.sleep(3)
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=540)
+    assert proc.returncode == 0, out
+    m = re.search(r"Preemption: saved train state at step (\d+)", out)
+    assert m, f"no preemption save in output:\n{out}"
+    interrupted_step = int(m.group(1))
+    assert interrupted_step >= 1
+
+    # resume from the interrupted state
+    proc2 = subprocess.run(
+        [sys.executable, str(worker), save_dir], cwd=tmp_path, env=env,
+        capture_output=True, text=True, timeout=540,
+    )
+    assert proc2.returncode == 0, proc2.stdout + proc2.stderr
+    m = re.search(r"Resumed from step (\d+)", proc2.stdout)
+    assert m, f"no resume in output:\n{proc2.stdout}"
+    assert int(m.group(1)) == interrupted_step
+    m = re.search(r"DONE (\d+)", proc2.stdout)
+    assert m and int(m.group(1)) > interrupted_step
