@@ -39,7 +39,8 @@ class CropDataset:
             ]
         else:
             raise ValueError(
-                "'directories' should be either a unique directory or a list of directories."
+                f"expected a directory path or a list of them, got "
+                f"{type(directories).__name__}"
             )
         self.files = sorted(self.files)
 

@@ -286,6 +286,9 @@ class Trainer:
                 self._profiled = True
                 profile_this = False
 
+            # every 10th step, not every step like the reference
+            # (trainer.py:126-129): a blocking host fetch per step would
+            # serialize the device pipeline — documented in README.
             if self.log and i % 10 == 0:
                 host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
                 self.writer.scalars("Loss/Train", host_stats, self.global_step)

@@ -6,30 +6,39 @@ a TPU slice via XLA's fake host devices, per SURVEY.md §4.
 
 import os
 
-# The environment pre-imports jax with a TPU (axon) platform plugin that
-# ignores JAX_PLATFORMS; jax.config still wins if set before backend init.
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_max_isa" not in xla_flags:
-    # Cap codegen at AVX512: this VM's visible CPU features drift
-    # between hosts (AMX sometimes vanishes) and feature-specific
-    # codegen sporadically SIGABRTs during compile. AVX512 is the widest
-    # ISA observed stable here; capping harder (AVX2) roughly doubled
-    # compile times without eliminating the (rare) aborts.
-    xla_flags = (xla_flags + " --xla_cpu_max_isa=AVX512").strip()
-os.environ["XLA_FLAGS"] = xla_flags
+# SDNET_TEST_TPU=1 runs the suite on the real TPU backend instead (only
+# the hardware-gated tests care; most just get slower) — used to run
+# tests/test_pallas_nms.py's Mosaic bit-exactness pin on a chip.
+_TPU_MODE = os.environ.get("SDNET_TEST_TPU") == "1"
+
+if not _TPU_MODE:
+    # The environment pre-imports jax with a TPU (axon) platform plugin
+    # that ignores JAX_PLATFORMS; jax.config still wins if set before
+    # backend init.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_max_isa" not in xla_flags:
+        # Cap codegen at AVX512: this VM's visible CPU features drift
+        # between hosts (AMX sometimes vanishes) and feature-specific
+        # codegen sporadically SIGABRTs during compile. AVX512 is the
+        # widest ISA observed stable here; capping harder (AVX2) roughly
+        # doubled compile times without eliminating the (rare) aborts.
+        xla_flags = (xla_flags + " --xla_cpu_max_isa=AVX512").strip()
+    os.environ["XLA_FLAGS"] = xla_flags
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
 
-assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
-assert len(jax.devices()) == 8, "tests expect 8 fake CPU devices"
+if not _TPU_MODE:
+    assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+    assert len(jax.devices()) == 8, "tests expect 8 fake CPU devices"
 
 
 @pytest.fixture
