@@ -60,7 +60,9 @@ class FpnBlock(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32 if train else self.dtype, name="bn",
         )(y)
-        return nn.relu(y)
+        # BN math f32 in train, activation buffer back to compute dtype
+        # (see resnet.BasicBlock) — halves HBM traffic around each BN.
+        return nn.relu(y.astype(self.dtype))
 
 
 class SDNet(nn.Module):

@@ -43,7 +43,11 @@ class BasicBlock(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32 if train else self.dtype, name="bn1",
         )(y)
-        y = nn.relu(y)
+        # BN math/stats stay f32 in train; the activation tensor (and its
+        # cotangent) is cast back to compute dtype so the materialized
+        # inter-fusion buffers are bf16 (halves HBM traffic of the
+        # bandwidth-bound train-step tail).
+        y = nn.relu(y.astype(self.dtype))
         y = nn.Conv(
             self.filters, (3, 3), strides=1, padding=1, use_bias=False,
             dtype=self.dtype, name="conv2",
@@ -52,6 +56,7 @@ class BasicBlock(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32 if train else self.dtype, name="bn2",
         )(y)
+        y = y.astype(self.dtype)
 
         if self.stride != 1 or identity.shape[-1] != self.filters:
             identity = nn.Conv(
@@ -62,6 +67,7 @@ class BasicBlock(nn.Module):
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
                 dtype=jnp.float32 if train else self.dtype, name="downsample_bn",
             )(identity)
+            identity = identity.astype(self.dtype)
 
         return nn.relu(y + identity.astype(y.dtype))
 
@@ -84,7 +90,7 @@ class ResNet34Encoder(nn.Module):
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32 if train else self.dtype, name="bn1",
         )(x)
-        x = nn.relu(x)
+        x = nn.relu(x.astype(self.dtype))
         # torch MaxPool2d(3, stride=2, padding=1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
