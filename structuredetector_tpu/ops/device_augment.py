@@ -95,20 +95,29 @@ def color_jitter(
     b = images.shape[0]
     kb, kc, ks, kh = jax.random.split(key, 4)
 
+    # All math runs in the image dtype (bf16 under amp: images come from
+    # uint8, whose 8-bit levels bf16 represents losslessly enough) —
+    # factors are cast so f32 randoms can't re-promote the big tensors.
     def factors(k, s):
         return jax.random.uniform(
             k, (b, 1, 1, 1), minval=max(0.0, 1.0 - s), maxval=1.0 + s
-        )
+        ).astype(images.dtype)
 
     if brightness > 0:
         images = jnp.clip(images * factors(kb, brightness), 0.0, 1.0)
     if contrast > 0:
-        mean = jnp.mean(_luma(images), axis=(1, 2, 3), keepdims=True)
+        # the per-image mean accumulates in f32 (a bf16 sum over H*W
+        # pixels drifts), then drops back to the image dtype
+        mean = jnp.mean(
+            _luma(images).astype(jnp.float32), axis=(1, 2, 3), keepdims=True
+        ).astype(images.dtype)
         images = jnp.clip(_blend(images, mean, factors(kc, contrast)), 0.0, 1.0)
     if saturation > 0:
         images = jnp.clip(_blend(images, _luma(images), factors(ks, saturation)), 0.0, 1.0)
     if hue > 0:
-        shift = jax.random.uniform(kh, (b, 1, 1), minval=-hue, maxval=hue)
+        shift = jax.random.uniform(
+            kh, (b, 1, 1), minval=-hue, maxval=hue
+        ).astype(images.dtype)
         hsv = rgb_to_hsv(images)
         h = jnp.mod(hsv[..., 0] + shift, 1.0)
         images = jnp.clip(hsv_to_rgb(jnp.stack((h, hsv[..., 1], hsv[..., 2]), -1)), 0.0, 1.0)
@@ -157,7 +166,9 @@ def random_flips(
 
 
 def normalize_images(images: jax.Array) -> jax.Array:
-    return (images - IMAGENET_MEAN) / IMAGENET_STD
+    mean = jnp.asarray(IMAGENET_MEAN, images.dtype)
+    std = jnp.asarray(IMAGENET_STD, images.dtype)
+    return (images - mean) / std
 
 
 def device_augment(

@@ -55,6 +55,10 @@ def make_train_step(
             images = jax.lax.with_sharding_constraint(images, bsh_in)
             kp = {k: jax.lax.with_sharding_constraint(v, bsh_in) for k, v in kp.items()}
         if augment:
+            # Augment in the compute dtype: inputs are uint8-derived, so
+            # bf16 loses nothing, and the flip/jitter buffers (the whole
+            # 512x512x3 batch, twice) halve their HBM traffic.
+            images = images.astype(model.dtype)
             key = jax.random.fold_in(jax.random.PRNGKey(config.seed), state.step)
             images, kp = device_augment(images, kp, key, out_w=out_w, out_h=out_h)
         targets = _encode_batch(kp, config, out_h, out_w)
