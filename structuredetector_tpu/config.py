@@ -83,6 +83,13 @@ class Config:
     # Warm-start the encoder from a locally cached torchvision ImageNet
     # resnet34 checkpoint (reference network.py:41 `pretrained=True`).
     pretrained_backbone: bool = False
+    # Space-to-depth stem: replace the 7x7/stride-2 stem conv (3 input
+    # channels badly underfill the MXU) with the equivalent 4x4/stride-1
+    # conv on space-to-depth(2) input. Same function at init / when
+    # loading a 7x7 checkpoint (kernel is rewritten exactly); the padded
+    # taps then train freely, so an s2d-trained checkpoint requires this
+    # flag to load.
+    s2d_stem: bool = False
     debug_nans: bool = False  # enable jax_debug_nans (SURVEY.md §5)
     resume_dir: Optional[Path] = None  # trainings/<ts> dir to resume from
     # evaluation device batch (metrics identical; >1 amortizes dispatch)
@@ -290,6 +297,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--native_io", action="store_true",
                    help="Use the native C++ image loader (fused decode+resize"
                         "+normalize; requires native/libsdnet_io.so).")
+    p.add_argument("--s2d_stem", action="store_true",
+                   help="Space-to-depth stem: equivalent 4x4/1 conv on 12 "
+                        "channels instead of 7x7/2 on 3 (faster on the MXU; "
+                        "changes the checkpoint stem layout).")
     p.add_argument("--debug_nans", action="store_true",
                    help="Enable jax_debug_nans for fault isolation.")
     p.add_argument("--resume", dest="resume_dir", type=str, default=None,
@@ -343,6 +354,7 @@ def config_from_args(argv=None) -> Config:
         native_io=ns.native_io,
         device_augment=not ns.host_augment,
         pretrained_backbone=ns.pretrained_backbone,
+        s2d_stem=ns.s2d_stem,
         debug_nans=ns.debug_nans,
         resume_dir=_opt_path(ns.resume_dir),
         eval_batch_size=max(1, ns.eval_batch_size),

@@ -72,6 +72,7 @@ class SDNet(nn.Module):
     n_parts: int  # N
     fpn_depth: int = 128
     dtype: jnp.dtype = jnp.float32
+    s2d_stem: bool = False  # see resnet.ResNet34Encoder.s2d_stem
 
     @property
     def out_channels(self) -> int:
@@ -82,7 +83,9 @@ class SDNet(nn.Module):
         self, x: jax.Array, train: bool = False, raw_output: bool = False
     ):
         x = x.astype(self.dtype)
-        c2, c3, c4, c5 = ResNet34Encoder(dtype=self.dtype, name="encoder")(x, train=train)
+        c2, c3, c4, c5 = ResNet34Encoder(
+            dtype=self.dtype, s2d_stem=self.s2d_stem, name="encoder"
+        )(x, train=train)
 
         f4 = nn.Conv(
             self.fpn_depth, (1, 1), use_bias=True, dtype=self.dtype, name="up1"
@@ -114,6 +117,7 @@ def build_model(config, dtype: Optional[jnp.dtype] = None) -> SDNet:
         n_parts=config.n_parts,
         fpn_depth=config.fpn_depth,
         dtype=dtype if dtype is not None else config.compute_dtype,
+        s2d_stem=getattr(config, "s2d_stem", False),
     )
 
 
@@ -122,12 +126,12 @@ import functools
 
 @functools.lru_cache(maxsize=16)
 def _cached_init_fn(n_labels: int, n_parts: int, fpn_depth: int, dtype_name: str,
-                    h: int, w: int, c: int):
+                    h: int, w: int, c: int, s2d_stem: bool = False):
     """One compiled init program per unique model signature per process
     (plain `jax.jit(lambda ...)` would recompile for every new lambda)."""
     model = SDNet(
         n_labels=n_labels, n_parts=n_parts, fpn_depth=fpn_depth,
-        dtype=jnp.dtype(dtype_name),
+        dtype=jnp.dtype(dtype_name), s2d_stem=s2d_stem,
     )
     dummy = jnp.zeros((1, h, w, c), jnp.float32)
     return jax.jit(lambda rng: model.init(rng, dummy, train=False))
@@ -143,6 +147,7 @@ def init_model(
     init_fn = _cached_init_fn(
         config.n_labels, config.n_parts, config.fpn_depth,
         jnp.dtype(config.compute_dtype).name, h, w, config.in_channels,
+        getattr(config, "s2d_stem", False),
     )
     return model, init_fn(rng)
 
@@ -172,15 +177,53 @@ def load_params(path) -> Dict[str, Any]:
     return flax.serialization.msgpack_restore(path.read_bytes())
 
 
+def _adapt_stem(loaded: Dict[str, Any], init_variables: Dict[str, Any]) -> Dict[str, Any]:
+    """Reconcile the stem kernel layout between a checkpoint and the
+    model being loaded into. A standard 7x7 stem checkpoint loads into
+    an `--s2d_stem` model via the exact kernel rewrite
+    (`resnet.stem_kernel_to_s2d`); the reverse direction is impossible
+    (the s2d kernel's padded taps train away from zero) and errors."""
+    import numpy as np
+
+    try:
+        # full checkpoints nest the encoder; encoder-only bridge trees
+        # (torchvision warm start) are the encoder itself
+        enc = loaded["params"].get("encoder", loaded["params"])
+        have = enc["conv1"]["kernel"]
+        want = init_variables["params"]["encoder"]["conv1"]["kernel"]
+    except (KeyError, TypeError, AttributeError):
+        return loaded
+    have_shape = tuple(np.shape(have))
+    want_shape = tuple(want.shape)
+    if have_shape == want_shape:
+        return loaded
+    if have_shape[:2] == (7, 7) and want_shape[:2] == (4, 4):
+        from .resnet import stem_kernel_to_s2d
+
+        enc["conv1"]["kernel"] = stem_kernel_to_s2d(have)
+        return loaded
+    if have_shape[:2] == (4, 4) and want_shape[:2] == (7, 7):
+        raise ValueError(
+            "This checkpoint was trained with --s2d_stem (4x4 stem kernel); "
+            "pass --s2d_stem to load it. A trained s2d stem cannot be "
+            "folded back into a 7x7/stride-2 conv."
+        )
+    raise ValueError(
+        f"Stem kernel shape mismatch: checkpoint {have_shape} vs model {want_shape}"
+    )
+
+
 def resolve_variables(path, init_variables: Dict[str, Any]) -> Dict[str, Any]:
     """Load a checkpoint for inference/training start.
 
     Full checkpoints replace `init_variables`; an encoder-only bridge
     (raw torchvision resnet34 `.pth`) warm-starts just the encoder
-    (reference network.py:41 ImageNet init)."""
+    (reference network.py:41 ImageNet init). Stem kernels are adapted
+    to the model's layout (`_adapt_stem`) in both cases."""
     loaded = load_params(path)
     if loaded.pop("encoder_only", False):
         from .torch_bridge import warm_start_encoder
 
+        loaded = _adapt_stem(loaded, init_variables)
         return warm_start_encoder(init_variables, loaded)
-    return loaded
+    return _adapt_stem(loaded, init_variables)

@@ -25,6 +25,40 @@ STAGE_SIZES = (3, 4, 6, 3)  # resnet34
 STAGE_WIDTHS = (64, 128, 256, 512)
 
 
+def space_to_depth(x: jax.Array) -> jax.Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); channel = (ry*2 + rx)*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def stem_kernel_to_s2d(k7):
+    """Rewrite a 7x7/stride-2 stem kernel (7, 7, Cin, Cout) as the
+    exactly-equivalent 4x4/stride-1 kernel (4, 4, 4*Cin, Cout) over
+    space-to-depth(2) input.
+
+    The 7x7 kernel (taps at offsets -3..3 around the output center) is
+    zero-padded to 8x8 (offsets -4..3) and split by tap parity: tap
+    t = 2u + r lands at s2d kernel position u, phase r. With input
+    padding ((2, 1), (2, 1)) the receptive field and zero-padding
+    semantics match the original conv exactly; outputs differ only by
+    summation order (fp rounding)."""
+    import numpy as np
+
+    k7 = np.asarray(k7)
+    kh, kw, cin, cout = k7.shape
+    assert (kh, kw) == (7, 7), f"expected a 7x7 stem kernel, got {k7.shape}"
+    kpad = np.zeros((8, 8, cin, cout), k7.dtype)
+    kpad[1:, 1:] = k7
+    out = np.zeros((4, 4, 4 * cin, cout), k7.dtype)
+    for ry in (0, 1):
+        for rx in (0, 1):
+            g = (ry * 2 + rx) * cin
+            out[:, :, g : g + cin, :] = kpad[ry::2, rx::2, :, :]
+    return out
+
+
 class BasicBlock(nn.Module):
     """torchvision BasicBlock: 3x3-BN-ReLU-3x3-BN + identity, ReLU."""
 
@@ -78,14 +112,25 @@ class ResNet34Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     stage_sizes: Sequence[int] = STAGE_SIZES
     stage_widths: Sequence[int] = STAGE_WIDTHS
+    # Space-to-depth stem: mathematically equivalent 4x4/1 conv on 12
+    # channels instead of 7x7/2 on 3 (see stem_kernel_to_s2d). The 3-in-
+    # channel strided conv is the single worst-mapped op on the MXU; the
+    # s2d form keeps the same receptive field with a denser contraction.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool) -> Tuple[jax.Array, ...]:
         # Stem ("adapter" in the reference, network.py:43-45)
-        x = nn.Conv(
-            64, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype,
-            name="conv1",
-        )(x)
+        if self.s2d_stem:
+            x = nn.Conv(
+                64, (4, 4), strides=1, padding=((2, 1), (2, 1)),
+                use_bias=False, dtype=self.dtype, name="conv1",
+            )(space_to_depth(x))
+        else:
+            x = nn.Conv(
+                64, (7, 7), strides=2, padding=3, use_bias=False, dtype=self.dtype,
+                name="conv1",
+            )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32 if train else self.dtype, name="bn1",
