@@ -83,6 +83,11 @@ class Config:
     # Warm-start the encoder from a locally cached torchvision ImageNet
     # resnet34 checkpoint (reference network.py:41 `pretrained=True`).
     pretrained_backbone: bool = False
+    # Encoder family. The reference ships exactly one (ResNet34,
+    # network.py:41); resnet18/resnet50 are drop-in alternates sharing
+    # the same FPN/head (the FPN convs are channel-agnostic) and the
+    # same torchvision weight bridge.
+    backbone: str = "resnet34"
     # Space-to-depth stem: replace the 7x7/stride-2 stem conv (3 input
     # channels badly underfill the MXU) with the equivalent 4x4/stride-1
     # conv on space-to-depth(2) input. Same function at init / when
@@ -169,6 +174,12 @@ class Config:
         if self.hm_loss_fn.lower() not in {"focal", "mse"}:
             raise ValueError(
                 f"unknown hm_loss_fn {self.hm_loss_fn!r}: pick 'focal' or 'mse'"
+            )
+        from .models.resnet import ARCHS
+
+        if self.backbone not in ARCHS:
+            raise ValueError(
+                f"unknown backbone {self.backbone!r}: pick one of {sorted(ARCHS)}"
             )
         if self.num_workers < 0:  # auto: reference num_workers policy (args.py:251)
             self.num_workers = min(os.cpu_count() or 1, 4)
@@ -297,6 +308,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--native_io", action="store_true",
                    help="Use the native C++ image loader (fused decode+resize"
                         "+normalize; requires native/libsdnet_io.so).")
+    p.add_argument("--backbone", type=str, default=d.backbone,
+                   choices=["resnet18", "resnet34", "resnet50"],
+                   help="Encoder family (reference ships resnet34).")
     p.add_argument("--s2d_stem", action="store_true",
                    help="Space-to-depth stem: equivalent 4x4/1 conv on 12 "
                         "channels instead of 7x7/2 on 3 (faster on the MXU; "
@@ -354,6 +368,7 @@ def config_from_args(argv=None) -> Config:
         native_io=ns.native_io,
         device_augment=not ns.host_augment,
         pretrained_backbone=ns.pretrained_backbone,
+        backbone=ns.backbone,
         s2d_stem=ns.s2d_stem,
         debug_nans=ns.debug_nans,
         resume_dir=_opt_path(ns.resume_dir),

@@ -73,6 +73,7 @@ class SDNet(nn.Module):
     fpn_depth: int = 128
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = False  # see resnet.ResNet34Encoder.s2d_stem
+    backbone: str = "resnet34"  # any key of resnet.ARCHS
 
     @property
     def out_channels(self) -> int:
@@ -84,7 +85,8 @@ class SDNet(nn.Module):
     ):
         x = x.astype(self.dtype)
         c2, c3, c4, c5 = ResNet34Encoder(
-            dtype=self.dtype, s2d_stem=self.s2d_stem, name="encoder"
+            dtype=self.dtype, arch=self.backbone, s2d_stem=self.s2d_stem,
+            name="encoder",
         )(x, train=train)
 
         f4 = nn.Conv(
@@ -118,6 +120,7 @@ def build_model(config, dtype: Optional[jnp.dtype] = None) -> SDNet:
         fpn_depth=config.fpn_depth,
         dtype=dtype if dtype is not None else config.compute_dtype,
         s2d_stem=getattr(config, "s2d_stem", False),
+        backbone=getattr(config, "backbone", "resnet34"),
     )
 
 
@@ -126,12 +129,13 @@ import functools
 
 @functools.lru_cache(maxsize=16)
 def _cached_init_fn(n_labels: int, n_parts: int, fpn_depth: int, dtype_name: str,
-                    h: int, w: int, c: int, s2d_stem: bool = False):
+                    h: int, w: int, c: int, s2d_stem: bool = False,
+                    backbone: str = "resnet34"):
     """One compiled init program per unique model signature per process
     (plain `jax.jit(lambda ...)` would recompile for every new lambda)."""
     model = SDNet(
         n_labels=n_labels, n_parts=n_parts, fpn_depth=fpn_depth,
-        dtype=jnp.dtype(dtype_name), s2d_stem=s2d_stem,
+        dtype=jnp.dtype(dtype_name), s2d_stem=s2d_stem, backbone=backbone,
     )
     dummy = jnp.zeros((1, h, w, c), jnp.float32)
     return jax.jit(lambda rng: model.init(rng, dummy, train=False))
@@ -148,6 +152,7 @@ def init_model(
         config.n_labels, config.n_parts, config.fpn_depth,
         jnp.dtype(config.compute_dtype).name, h, w, config.in_channels,
         getattr(config, "s2d_stem", False),
+        getattr(config, "backbone", "resnet34"),
     )
     return model, init_fn(rng)
 

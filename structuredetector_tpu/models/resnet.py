@@ -106,11 +106,64 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity.astype(y.dtype))
 
 
+class Bottleneck(nn.Module):
+    """torchvision Bottleneck (v1.5: stride on the 3x3): 1x1 reduce -
+    3x3 - 1x1 expand(x4), BN after each, identity add, ReLU."""
+
+    filters: int  # base width; output channels = 4 * filters
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+    EXPANSION = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out_ch = self.filters * self.EXPANSION
+        identity = x
+
+        def bn(y, name):
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32 if train else self.dtype, name=name,
+            )(y)
+            return y.astype(self.dtype)  # bf16 activations, f32 BN math
+
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.relu(bn(y, "bn1"))
+        y = nn.Conv(self.filters, (3, 3), strides=self.stride, padding=1,
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(bn(y, "bn2"))
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = bn(y, "bn3")
+
+        if self.stride != 1 or identity.shape[-1] != out_ch:
+            identity = nn.Conv(
+                out_ch, (1, 1), strides=self.stride, use_bias=False,
+                dtype=self.dtype, name="downsample_conv",
+            )(identity)
+            identity = bn(identity, "downsample_bn")
+
+        return nn.relu(y + identity.astype(y.dtype))
+
+
+# backbone name -> (block module, blocks per stage)
+ARCHS = {
+    "resnet18": (BasicBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3)),
+}
+
+
 class ResNet34Encoder(nn.Module):
-    """Stem + 4 stages; returns (C2, C3, C4, C5) at strides (4, 8, 16, 32)."""
+    """Stem + 4 stages; returns (C2, C3, C4, C5) at strides (4, 8, 16, 32).
+
+    Despite the historical name this builds any `ARCHS` backbone
+    (`arch` field); submodule names mirror the torchvision state_dict
+    per family so `models.torch_bridge` maps mechanically."""
 
     dtype: jnp.dtype = jnp.float32
-    stage_sizes: Sequence[int] = STAGE_SIZES
+    arch: str = "resnet34"
     stage_widths: Sequence[int] = STAGE_WIDTHS
     # Space-to-depth stem: mathematically equivalent 4x4/1 conv on 12
     # channels instead of 7x7/2 on 3 (see stem_kernel_to_s2d). The 3-in-
@@ -139,11 +192,12 @@ class ResNet34Encoder(nn.Module):
         # torch MaxPool2d(3, stride=2, padding=1)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        block_cls, stage_sizes = ARCHS[self.arch]
         feats = []
-        for stage, (n_blocks, width) in enumerate(zip(self.stage_sizes, self.stage_widths)):
+        for stage, (n_blocks, width) in enumerate(zip(stage_sizes, self.stage_widths)):
             for block in range(n_blocks):
                 stride = 2 if stage > 0 and block == 0 else 1
-                x = BasicBlock(
+                x = block_cls(
                     width, stride=stride, dtype=self.dtype,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)

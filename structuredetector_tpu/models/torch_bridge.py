@@ -23,7 +23,7 @@ from typing import Any, Dict, Mapping
 
 import numpy as np
 
-STAGE_SIZES = (3, 4, 6, 3)
+STAGE_SIZES = (3, 4, 6, 3)  # resnet34/50; resnet18 is (2, 2, 2, 2)
 
 
 def _to_numpy(t) -> np.ndarray:
@@ -75,11 +75,38 @@ def _basic_block(sd, prefix: str, has_downsample: bool):
     return params, stats
 
 
+def _bottleneck_block(sd, prefix: str, has_downsample: bool):
+    """torchvision Bottleneck: conv1/bn1 (1x1), conv2/bn2 (3x3),
+    conv3/bn3 (1x1 expand), optional downsample."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        params[f"conv{i}"] = {"kernel": _conv(_sd_get(sd, f"{prefix}.conv{i}.weight"))}
+        params[f"bn{i}"], stats[f"bn{i}"] = _bn(sd, f"{prefix}.bn{i}")
+    if has_downsample:
+        params["downsample_conv"] = {
+            "kernel": _conv(_sd_get(sd, f"{prefix}.downsample.0.weight"))
+        }
+        params["downsample_bn"], stats["downsample_bn"] = _bn(sd, f"{prefix}.downsample.1")
+    return params, stats
+
+
+def _detect_arch(sd: Mapping[str, Any], stage_prefix) -> tuple:
+    """(block converter, stage sizes, downsample-in-stage-0) from the
+    state_dict shape: Bottleneck blocks carry a conv3; resnet18 has no
+    layer1.2."""
+    if f"{stage_prefix(0)}.0.conv3.weight" in sd:
+        return _bottleneck_block, (3, 4, 6, 3), True  # resnet50
+    if f"{stage_prefix(0)}.2.conv1.weight" in sd:
+        return _basic_block, (3, 4, 6, 3), False  # resnet34
+    return _basic_block, (2, 2, 2, 2), False  # resnet18
+
+
 def convert_encoder(sd: Mapping[str, Any], style: str) -> Dict[str, Any]:
-    """Convert the ResNet34 encoder weights.
+    """Convert ResNet encoder weights (resnet18/34/50, auto-detected).
 
     style='sdnet' uses the reference SDNet naming (adpater/down1..4);
-    style='torchvision' uses raw resnet34 naming (conv1/layer1..4).
+    style='torchvision' uses raw resnet naming (conv1/layer1..4).
     """
     if style == "sdnet":
         stem_conv, stem_bn = "adpater.0", "adpater.1"
@@ -88,15 +115,17 @@ def convert_encoder(sd: Mapping[str, Any], style: str) -> Dict[str, Any]:
         stem_conv, stem_bn = "conv1", "bn1"
         stage_prefix = lambda s: f"layer{s + 1}"
 
+    block_fn, stage_sizes, ds_in_stage0 = _detect_arch(sd, stage_prefix)
+
     params: Dict[str, Any] = {"conv1": {"kernel": _conv(_sd_get(sd, f"{stem_conv}.weight"))}}
     stats: Dict[str, Any] = {}
     params["bn1"], stats["bn1"] = _bn(sd, stem_bn)
 
-    for stage, n_blocks in enumerate(STAGE_SIZES):
+    for stage, n_blocks in enumerate(stage_sizes):
         for block in range(n_blocks):
-            has_ds = stage > 0 and block == 0
+            has_ds = (stage > 0 or ds_in_stage0) and block == 0
             name = f"layer{stage + 1}_{block}"
-            p, s = _basic_block(sd, f"{stage_prefix(stage)}.{block}", has_ds)
+            p, s = block_fn(sd, f"{stage_prefix(stage)}.{block}", has_ds)
             params[name] = p
             stats[name] = s
 
@@ -133,16 +162,16 @@ def convert_sdnet_state_dict(sd: Mapping[str, Any]) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
-def find_imagenet_resnet34() -> "Path":
-    """Locate a torchvision ImageNet resnet34 checkpoint in the standard
-    local caches (the reference downloads it implicitly via
-    `pretrained=True`, network.py:41; this environment has no network
-    egress, so the file must already be on disk).
+def find_imagenet_resnet34(backbone: str = "resnet34") -> "Path":
+    """Locate a torchvision ImageNet checkpoint for `backbone` in the
+    standard local caches (the reference downloads resnet34 implicitly
+    via `pretrained=True`, network.py:41; this environment has no
+    network egress, so the file must already be on disk).
 
     Search order:
       1. $SDNET_PRETRAINED — explicit file path,
-      2. $TORCH_HOME/hub/checkpoints/resnet34-*.pth,
-      3. ~/.cache/torch/hub/checkpoints/resnet34-*.pth.
+      2. $TORCH_HOME/hub/checkpoints/<backbone>-*.pth,
+      3. ~/.cache/torch/hub/checkpoints/<backbone>-*.pth.
     """
     import os
     from pathlib import Path
@@ -157,13 +186,13 @@ def find_imagenet_resnet34() -> "Path":
         )
 
     torch_home = Path(os.environ.get("TORCH_HOME", Path.home() / ".cache" / "torch"))
-    hits = sorted((torch_home / "hub" / "checkpoints").glob("resnet34-*.pth"))
+    hits = sorted((torch_home / "hub" / "checkpoints").glob(f"{backbone}-*.pth"))
     if hits:
         return hits[0]
 
     raise FileNotFoundError(
-        "--pretrained: no ImageNet resnet34 checkpoint found. Place "
-        "torchvision's resnet34 weights (e.g. resnet34-b627a593.pth from "
+        f"--pretrained: no ImageNet {backbone} checkpoint found. Place "
+        f"torchvision's {backbone} weights (e.g. from "
         "https://download.pytorch.org/models/) under "
         f"{torch_home / 'hub' / 'checkpoints'}/, or set $SDNET_PRETRAINED "
         "(or $TORCH_HOME), or pass the file directly via --load_model."

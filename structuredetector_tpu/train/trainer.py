@@ -97,7 +97,7 @@ class Trainer:
             from ..models.network import resolve_variables
             from ..models.torch_bridge import find_imagenet_resnet34
 
-            path = find_imagenet_resnet34()
+            path = find_imagenet_resnet34(getattr(config, "backbone", "resnet34"))
             variables = resolve_variables(path, variables)
             if self.is_lead:
                 print(f"Warm-started encoder from {path}")
