@@ -143,7 +143,135 @@ bool ends_with(const std::string& s, const char* suf) {
   return lower.size() >= t.size() && lower.compare(lower.size() - t.size(), t.size(), t) == 0;
 }
 
+// ---------------------------------------------------------------------
+// PIL-compatible resampling (exact mode).
+//
+// Reproduces Pillow's BILINEAR resize semantics so the native tier is
+// bit-identical to the PIL host path (strict eval parity): a separable
+// two-pass triangle filter whose support scales with the downscale
+// factor, coefficients quantized to 2^22 fixed point with
+// round-half-away, each pass accumulating in int32 with a rounding bias
+// and clamping back to uint8.
+// ---------------------------------------------------------------------
+
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline uint8_t clip8(int v) {
+  v >>= kPrecisionBits;
+  return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+}
+
+// Triangle-filter coefficient table for one axis: per output index,
+// bounds[2*i] = first source index, bounds[2*i+1] = tap count; taps in
+// kk[i*ksize ..]. Returns ksize.
+int precompute_coeffs(int in_size, int out_size, std::vector<int>* bounds,
+                      std::vector<int>* kk) {
+  const double scale = (double)in_size / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = filterscale;  // bilinear filter support = 1.0
+  const int ksize = (int)std::ceil(support) * 2 + 1;
+
+  bounds->assign((size_t)out_size * 2, 0);
+  kk->assign((size_t)out_size * ksize, 0);
+  std::vector<double> k(ksize);
+
+  for (int xx = 0; xx < out_size; xx++) {
+    const double center = (xx + 0.5) * scale;
+    const double ss = 1.0 / filterscale;
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+
+    double ww = 0.0;
+    for (int x = 0; x < xmax; x++) {
+      double t = (x + xmin - center + 0.5) * ss;
+      if (t < 0) t = -t;
+      const double w = t < 1.0 ? 1.0 - t : 0.0;
+      k[x] = w;
+      ww += w;
+    }
+    int* ki = kk->data() + (size_t)xx * ksize;
+    for (int x = 0; x < xmax; x++) {
+      const double c = ww != 0.0 ? k[x] / ww : 0.0;
+      const double q = c * (1 << kPrecisionBits);
+      ki[x] = (int)(q < 0 ? q - 0.5 : q + 0.5);
+    }
+    (*bounds)[xx * 2] = xmin;
+    (*bounds)[xx * 2 + 1] = xmax;
+  }
+  return ksize;
+}
+
+// Two-pass uint8 resample, horizontal then vertical (each pass rounds
+// back to uint8 like Pillow does).
+void resample_pil(const Image& img, int out_w, int out_h, Image* out) {
+  std::vector<int> hb, hk, vb, vk;
+  const int hks = precompute_coeffs(img.w, out_w, &hb, &hk);
+  const int vks = precompute_coeffs(img.h, out_h, &vb, &vk);
+
+  Image tmp;
+  tmp.w = out_w;
+  tmp.h = img.h;
+  tmp.c = 3;
+  tmp.data.resize((size_t)out_w * img.h * 3);
+  for (int y = 0; y < img.h; y++) {
+    const uint8_t* src = img.data.data() + (size_t)y * img.w * 3;
+    uint8_t* dst = tmp.data.data() + (size_t)y * out_w * 3;
+    for (int xx = 0; xx < out_w; xx++) {
+      const int xmin = hb[xx * 2], xmax = hb[xx * 2 + 1];
+      const int* ki = hk.data() + (size_t)xx * hks;
+      for (int ch = 0; ch < 3; ch++) {
+        int ss = 1 << (kPrecisionBits - 1);
+        for (int x = 0; x < xmax; x++)
+          ss += src[(size_t)(xmin + x) * 3 + ch] * ki[x];
+        dst[(size_t)xx * 3 + ch] = clip8(ss);
+      }
+    }
+  }
+
+  out->w = out_w;
+  out->h = out_h;
+  out->c = 3;
+  out->data.resize((size_t)out_w * out_h * 3);
+  for (int yy = 0; yy < out_h; yy++) {
+    const int ymin = vb[yy * 2], ymax = vb[yy * 2 + 1];
+    const int* ki = vk.data() + (size_t)yy * vks;
+    uint8_t* dst = out->data.data() + (size_t)yy * out_w * 3;
+    for (int xx = 0; xx < out_w; xx++) {
+      for (int ch = 0; ch < 3; ch++) {
+        int ss = 1 << (kPrecisionBits - 1);
+        for (int y = 0; y < ymax; y++)
+          ss += tmp.data[((size_t)(ymin + y) * out_w + xx) * 3 + ch] * ki[y];
+        dst[(size_t)xx * 3 + ch] = clip8(ss);
+      }
+    }
+  }
+}
+
+// uint8 resampled image -> flipped, [0,1]-scaled, normalized float32,
+// with the exact float op sequence of the host path
+// (data/augment.py Normalize: f32(u8) / 255.0, then (v - mean) / std).
+void finalize_exact(const Image& img, bool hflip, bool vflip,
+                    const float* mean, const float* stdv, float* out) {
+  for (int oy = 0; oy < img.h; oy++) {
+    const int ty = vflip ? (img.h - 1 - oy) : oy;
+    float* dst = out + (size_t)oy * img.w * 3;
+    const uint8_t* src = img.data.data() + (size_t)ty * img.w * 3;
+    for (int ox = 0; ox < img.w; ox++) {
+      const int tx = hflip ? (img.w - 1 - ox) : ox;
+      for (int ch = 0; ch < 3; ch++) {
+        const float v = (float)src[(size_t)tx * 3 + ch] / 255.0f;
+        dst[(size_t)ox * 3 + ch] = (v - mean[ch]) / stdv[ch];
+      }
+    }
+  }
+}
+
 // Fused bilinear resize + flip + normalize: uint8 HWC -> float32 HWC.
+// (fast mode: 2-tap bilinear at pixel centers, multiply-by-reciprocal —
+// close to but not bit-identical with PIL)
 void resize_normalize(const Image& img, int out_w, int out_h, bool hflip,
                       bool vflip, const float* mean, const float* stdv,
                       float* out) {
@@ -187,7 +315,7 @@ void resize_normalize(const Image& img, int out_w, int out_h, bool hflip,
 
 bool load_one(const char* path, int out_w, int out_h, bool hflip, bool vflip,
               const float* mean, const float* stdv, float* out,
-              int* orig_w, int* orig_h) {
+              int* orig_w, int* orig_h, bool exact) {
   Image img;
   const std::string p(path);
   bool ok = false;
@@ -213,10 +341,19 @@ bool load_one(const char* path, int out_w, int out_h, bool hflip, bool vflip,
     if (orig_w) { *orig_w = cinfo.image_width; *orig_h = cinfo.image_height; }
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
-    ok = decode_jpeg(path, out_w, out_h, &img);
+    // exact mode decodes at full resolution (DCT-scaled decode changes
+    // pixels vs PIL's full decode); fast mode picks the largest safe
+    // DCT downscale.
+    ok = decode_jpeg(path, exact ? 0 : out_w, exact ? 0 : out_h, &img);
   }
   if (!ok) return false;
-  resize_normalize(img, out_w, out_h, hflip, vflip, mean, stdv, out);
+  if (exact) {
+    Image resized;
+    resample_pil(img, out_w, out_h, &resized);
+    finalize_exact(resized, hflip, vflip, mean, stdv, out);
+  } else {
+    resize_normalize(img, out_w, out_h, hflip, vflip, mean, stdv, out);
+  }
   return true;
 }
 
@@ -226,11 +363,14 @@ extern "C" {
 
 // Decode one image into a caller-provided (out_h, out_w, 3) float32 buffer.
 // Returns 1 on success. orig_w/orig_h receive the file's true size.
+// exact != 0: bit-identical with the PIL host path (full decode +
+// Pillow-semantics resample); exact == 0: fast approximate path
+// (DCT-scaled decode + 2-tap bilinear).
 int sdnet_load_image(const char* path, int out_w, int out_h, int hflip,
                      int vflip, const float* mean, const float* stdv,
-                     float* out, int* orig_w, int* orig_h) {
+                     float* out, int* orig_w, int* orig_h, int exact) {
   return load_one(path, out_w, out_h, hflip != 0, vflip != 0, mean, stdv, out,
-                  orig_w, orig_h)
+                  orig_w, orig_h, exact != 0)
              ? 1
              : 0;
 }
@@ -240,7 +380,8 @@ int sdnet_load_image(const char* path, int out_w, int out_h, int hflip,
 // ok: per-image success flags (len n). Returns count of successes.
 int sdnet_load_batch(const char** paths, int n, int out_w, int out_h,
                      const int* flips, const float* mean, const float* stdv,
-                     float* out, int* orig_sizes, int* ok, int n_threads) {
+                     float* out, int* orig_sizes, int* ok, int n_threads,
+                     int exact) {
   if (n_threads <= 0) n_threads = 4;
   n_threads = std::min(n_threads, n);
   std::atomic<int> next(0), good(0);
@@ -254,7 +395,7 @@ int sdnet_load_batch(const char** paths, int n, int out_w, int out_h,
       const bool vf = flips && flips[i * 2 + 1];
       int ow = 0, oh = 0;
       const int r = load_one(paths[i], out_w, out_h, hf, vf, mean, stdv,
-                             out + stride * i, &ow, &oh)
+                             out + stride * i, &ow, &oh, exact != 0)
                         ? 1
                         : 0;
       if (ok) ok[i] = r;
@@ -273,6 +414,6 @@ int sdnet_load_batch(const char** paths, int n, int out_w, int out_h,
   return good.load();
 }
 
-int sdnet_io_version() { return 1; }
+int sdnet_io_version() { return 2; }  // v2: exact (PIL-parity) mode arg
 
 }  // extern "C"

@@ -72,10 +72,16 @@ class Config:
     # host-side loader threads; -1 = auto, min(cpu_count, 4) like the
     # reference (args.py:251). 0 = fully synchronous loading.
     num_workers: int = -1
-    # Native C++ IO fast path (fused decode+resize+normalize; see
-    # native/sdnet_io.cpp). Off by default: its bilinear resampling
-    # differs slightly from PIL's, which matters for strict eval parity.
-    native_io: bool = False
+    # Native C++ IO (fused decode+resize+normalize on a no-GIL thread
+    # pool; see native/sdnet_io.cpp). Default mode is bit-identical to
+    # the PIL host path (Pillow-semantics resample) and ~1.4x faster
+    # per core, so it's on by default; falls back to PIL when the
+    # library isn't built (`make -C native`).
+    native_io: bool = True
+    # Approximate fast mode for the *training* feed only: DCT-space
+    # scaled JPEG decode + 2-tap bilinear (~2.2x PIL per core; small
+    # pixel differences). Validation/eval always uses the exact mode.
+    native_io_fast: bool = False
     # Run color jitter + flips inside the jitted train step on the TPU
     # (host only decodes+resizes). Disable for the reference's host-side
     # PIL augmentation path.
@@ -305,9 +311,17 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--host_augment", action="store_true",
                    help="Augment on the host with PIL (reference behavior) "
                         "instead of on-device.")
-    p.add_argument("--native_io", action="store_true",
-                   help="Use the native C++ image loader (fused decode+resize"
-                        "+normalize; requires native/libsdnet_io.so).")
+    p.add_argument("--native_io", dest="native_io", action="store_true",
+                   default=True,
+                   help="Use the native C++ image loader (bit-identical to "
+                        "the PIL path, faster; the default when "
+                        "native/libsdnet_io.so is built).")
+    p.add_argument("--no_native_io", dest="native_io", action="store_false",
+                   help="Force the PIL loader.")
+    p.add_argument("--native_io_fast", action="store_true",
+                   help="Approximate fast decode for the training feed "
+                        "(DCT-scaled JPEG + 2-tap bilinear); eval stays "
+                        "exact.")
     p.add_argument("--backbone", type=str, default=d.backbone,
                    choices=["resnet18", "resnet34", "resnet50"],
                    help="Encoder family (reference ships resnet34).")
@@ -365,7 +379,8 @@ def config_from_args(argv=None) -> Config:
         profile=ns.profile,
         seed=ns.seed,
         num_workers=ns.num_workers,
-        native_io=ns.native_io,
+        native_io=ns.native_io or ns.native_io_fast,
+        native_io_fast=ns.native_io_fast,
         device_augment=not ns.host_augment,
         pretrained_backbone=ns.pretrained_backbone,
         backbone=ns.backbone,

@@ -220,7 +220,8 @@ class Flatten:
 
 
 def _native_load_and_flatten(
-    config, paths, targets, size, normalize: bool, n_threads: int
+    config, paths, targets, size, normalize: bool, n_threads: int,
+    exact: bool = True,
 ):
     """Whole-batch native path: one C++ call decodes/resizes/normalizes
     every image on its own thread pool into a contiguous NHWC buffer,
@@ -231,7 +232,7 @@ def _native_load_and_flatten(
 
     w, h = size
     images, orig, ok = native.load_batch(
-        paths, w, h, n_threads=n_threads, normalize=normalize
+        paths, w, h, n_threads=n_threads, normalize=normalize, exact=exact
     )
     if not ok.all():
         bad = [str(p) for p, good in zip(paths, ok) if not good]
@@ -311,7 +312,10 @@ class TrainAugmentation:
 
         cfg = self.config
         w, h = self.current_size
-        arr, orig_size = native.load_image(image_path, w, h, normalize=False)
+        arr, orig_size = native.load_image(
+            image_path, w, h, normalize=False,
+            exact=not getattr(cfg, "native_io_fast", False),
+        )
         target.img_size = orig_size
         annotation = target.resized(orig_size, (w, h))
         return Flatten(cfg)(arr, annotation)
@@ -332,6 +336,7 @@ class TrainAugmentation:
         return _native_load_and_flatten(
             self.config, paths, targets, self.current_size,
             normalize=not self.device_augment, n_threads=n_threads,
+            exact=not getattr(self.config, "native_io_fast", False),
         )
 
     def trigger_random_resize(self):

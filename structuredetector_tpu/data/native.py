@@ -41,12 +41,22 @@ def _load() -> Optional[ctypes.CDLL]:
         _LIB = None
         return None
 
+    try:
+        version = lib.sdnet_io_version()
+    except AttributeError:
+        version = 0
+    if version < 2:
+        # stale build without the exact-mode argument: treat as absent
+        # rather than crash mid-batch with a silent ABI mismatch
+        _LIB = None
+        return None
+
     lib.sdnet_load_image.restype = ctypes.c_int
     lib.sdnet_load_image.argtypes = [
         ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
     ]
     lib.sdnet_load_batch.restype = ctypes.c_int
     lib.sdnet_load_batch.argtypes = [
@@ -54,6 +64,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_int,
     ]
     _LIB = lib
     return lib
@@ -77,11 +88,14 @@ _RAW01_STD = np.ones(3, np.float32)
 
 def load_image(
     path, out_w: int, out_h: int, hflip: bool = False, vflip: bool = False,
-    normalize: bool = True,
+    normalize: bool = True, exact: bool = True,
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Decode+resize one image -> ((out_h, out_w, 3) float32, original
     (w, h)). normalize=True applies ImageNet mean/std; False yields raw
-    [0, 1] (for on-device augmentation)."""
+    [0, 1] (for on-device augmentation). exact=True is bit-identical
+    with the PIL host path (Pillow-semantics resample, full decode);
+    exact=False is the fast approximate path (DCT-scaled decode +
+    2-tap bilinear)."""
     lib = _load()
     assert lib is not None, "native IO library not built (make -C native)"
     out = np.empty((out_h, out_w, 3), np.float32)
@@ -90,7 +104,7 @@ def load_image(
     r = lib.sdnet_load_image(
         str(path).encode(), out_w, out_h, int(hflip), int(vflip),
         _fptr(mean), _fptr(std), _fptr(out),
-        ctypes.byref(ow), ctypes.byref(oh),
+        ctypes.byref(ow), ctypes.byref(oh), int(exact),
     )
     if not r:
         raise IOError(f"native decode failed for {path}")
@@ -100,12 +114,12 @@ def load_image(
 def load_batch(
     paths: Sequence, out_w: int, out_h: int,
     flips: Optional[np.ndarray] = None, n_threads: int = 4,
-    normalize: bool = True,
+    normalize: bool = True, exact: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Threaded batch decode -> ((N, out_h, out_w, 3) float32,
     orig sizes (N, 2) int32, ok flags (N,) bool). normalize=True applies
     ImageNet mean/std; False yields raw [0, 1] pixels (the feed for
-    on-device augmentation)."""
+    on-device augmentation). exact: see `load_image`."""
     lib = _load()
     assert lib is not None, "native IO library not built (make -C native)"
     n = len(paths)
@@ -125,6 +139,6 @@ def load_batch(
         _fptr(mean), _fptr(std), _fptr(out),
         orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
-        n_threads,
+        n_threads, int(exact),
     )
     return out, orig, ok.astype(bool)

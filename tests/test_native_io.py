@@ -43,13 +43,38 @@ def png_file(tmp_path, rng):
     return p
 
 
-def test_load_image_jpeg_close_to_pil(jpeg_file):
-    out, orig = native.load_image(jpeg_file, 64, 48)
+def test_fast_mode_jpeg_close_to_pil(jpeg_file):
+    out, orig = native.load_image(jpeg_file, 64, 48, exact=False)
     assert out.shape == (48, 64, 3)
     assert orig == (128, 96)
     want = _pil_reference(jpeg_file, 64, 48)
     # decode + bilinear differences are small in normalized units
     assert np.abs(out - want).mean() < 0.08
+
+
+@pytest.mark.parametrize("size", [(64, 48), (128, 96), (200, 150), (30, 77)])
+def test_exact_mode_jpeg_bit_identical(jpeg_file, size):
+    """Default (exact) mode is bit-identical to the PIL host path:
+    full decode + Pillow-semantics resample + identical float ops."""
+    out, _ = native.load_image(jpeg_file, *size)
+    want = _pil_reference(jpeg_file, *size)
+    np.testing.assert_array_equal(out, want)
+
+
+@pytest.mark.parametrize("size", [(70, 50), (32, 32), (140, 100), (65, 49)])
+def test_exact_mode_png_bit_identical(png_file, size):
+    out, _ = native.load_image(png_file, *size)
+    want = _pil_reference(png_file, *size)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_exact_mode_raw01_bit_identical(png_file):
+    from PIL import Image as PILImage
+
+    out, _ = native.load_image(png_file, 33, 21, normalize=False)
+    img = PILImage.open(png_file).convert("RGB").resize((33, 21), PILImage.BILINEAR)
+    want = np.asarray(img, np.float32) / 255.0
+    np.testing.assert_array_equal(out, want)
 
 
 def test_load_image_jpeg_full_size_matches_pil_decode(jpeg_file):
@@ -103,7 +128,7 @@ def test_jpeg_scaled_decode_large(tmp_path, rng):
     arr = smooth_image(1024, 1536)
     p = tmp_path / "big.jpg"
     Image.fromarray(arr).save(p, quality=90)
-    out, orig = native.load_image(p, 128, 128)
+    out, orig = native.load_image(p, 128, 128, exact=False)
     assert orig == (1536, 1024)
     want = _pil_reference(p, 128, 128)
     assert np.abs(out - want).mean() < 0.12  # noise image: resampling differs
