@@ -102,6 +102,31 @@ def test_pretrained_flag_parses(tmp_path):
     assert not config_from_args(["-m", str(labels)]).pretrained_backbone
 
 
+def test_backbone_and_stem_flags(tmp_path):
+    labels = tmp_path / "labels.json"
+    labels.write_text(json.dumps({"labels": ["a"], "parts": ["p"]}))
+    cfg = config_from_args(["-m", str(labels), "--backbone", "resnet50", "--s2d_stem"])
+    assert cfg.backbone == "resnet50" and cfg.s2d_stem
+    default = config_from_args(["-m", str(labels)])
+    assert default.backbone == "resnet34" and not default.s2d_stem
+    with pytest.raises(SystemExit):  # argparse choices
+        config_from_args(["-m", str(labels), "--backbone", "resnet101"])
+
+
+def test_native_io_flags(tmp_path):
+    labels = tmp_path / "labels.json"
+    labels.write_text(json.dumps({"labels": ["a"], "parts": ["p"]}))
+    default = config_from_args(["-m", str(labels)])
+    assert default.native_io and not default.native_io_fast
+    off = config_from_args(["-m", str(labels), "--no_native_io"])
+    assert not off.native_io
+    fast = config_from_args(["-m", str(labels), "--native_io_fast"])
+    assert fast.native_io and fast.native_io_fast
+    # fast implies native even after an explicit --no_native_io
+    both = config_from_args(["-m", str(labels), "--no_native_io", "--native_io_fast"])
+    assert both.native_io and both.native_io_fast
+
+
 def test_repo_ships_example_labels_json():
     """The default labels_path must resolve against a real example file
     (the reference ships labels.json:1-4)."""

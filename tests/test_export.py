@@ -72,3 +72,18 @@ def test_export_dynamic_batch(tmp_path):
     out3 = np.asarray(call(np.zeros((3, 32, 32, 3), np.float32)))
     assert out1.shape[0] == 1 and out3.shape[0] == 3
     np.testing.assert_allclose(out3[0], out1[0], atol=1e-5)
+
+
+def test_export_roundtrip_other_backbone(tmp_path):
+    """Exported artifacts carry whatever --backbone built them; the
+    caller needs no model code, so no backbone flag on the load side."""
+    cfg = Config(width=32, height=32, fpn_depth=16, max_objects=2, max_parts=4,
+                 use_amp=False, backbone="resnet18")
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    model, variables = init_model(cfg)
+    path = export_model(cfg, variables, tmp_path / "r18.sdz", batch_size=1)
+    call, meta = load_exported(path)
+    x = np.random.default_rng(1).normal(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(call(x))
+    fn = make_export_fn(build_model(cfg), variables, cfg.n_labels, cfg.n_parts)
+    np.testing.assert_allclose(got, np.asarray(fn(jnp.asarray(x))), atol=1e-5)
