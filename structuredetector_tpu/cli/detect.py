@@ -28,11 +28,14 @@ def main(argv=None):
         "No pretrained model specified. Use the option '--load_model <model_path>'."
     )
 
-    dataset = PredictionDataset(config.valid_dir, PredictionTransformation(config))
+    # uint8 feed + on-device normalization: 4x less host->device traffic
+    dataset = PredictionDataset(
+        config.valid_dir, PredictionTransformation(config, device_normalize=True)
+    )
     model, init_vars = init_model(config)
     variables = resolve_variables(config.pretrained_model, init_vars)
     decoder = Decoder(config)
-    forward = make_forward(model)
+    forward = make_forward(model, from_uint8=True)
 
     out_dir = Path("predictions")
     out_dir.mkdir(exist_ok=True)

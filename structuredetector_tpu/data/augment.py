@@ -414,12 +414,24 @@ class ExportTransforms:
 
 
 class PredictionTransformation:
-    """Image-only path for `detect` (transforms.py:270-286)."""
+    """Image-only path for `detect` (transforms.py:270-286).
 
-    def __init__(self, config):
+    With `device_normalize`, the host only resizes and emits uint8 HWC;
+    the /255 + ImageNet normalization then runs inside the jitted
+    forward (`make_forward(from_uint8=True)`) — 4x less host->device
+    traffic per image.
+    """
+
+    def __init__(self, config, device_normalize: bool = False):
         self.resize = Resize((config.width, config.height))
+        self.device_normalize = device_normalize
         self.normalize = Normalize()
 
     def __call__(self, image: Image.Image) -> np.ndarray:
         resized = image.resize((self.resize.width, self.resize.height), Image.BILINEAR)
+        if self.device_normalize:
+            arr = np.asarray(resized, np.uint8)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            return arr
         return self.normalize(resized)

@@ -37,19 +37,18 @@ def make_export_fn(model, variables, n_labels: int, n_parts: int,
     channels pass through raw (reference RawDecoder,
     convert_coreml.py:12-29). Returns the (B, H/4, W/4, M+N+4) map.
 
-    With `fold_normalization`, the graph consumes raw [0, 255] RGB and
-    performs the /255 + ImageNet mean/std normalization itself — the
-    analog of the reference folding scale/bias into the CoreML input
-    (convert_coreml.py:105-111)."""
+    With `fold_normalization`, the graph consumes raw [0, 255] RGB
+    (float32 or uint8) and performs the /255 + ImageNet mean/std
+    normalization itself — the analog of the reference folding
+    scale/bias into the CoreML input (convert_coreml.py:105-111)."""
     nb_hm = n_labels + n_parts
 
     def fn(image: jax.Array) -> jax.Array:
         if fold_normalization:
             from .data.augment import IMAGENET_MEAN, IMAGENET_STD
 
-            image = (image / 255.0 - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(
-                IMAGENET_STD
-            )
+            image = (image.astype(jnp.float32) / 255.0
+                     - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         raw = model.apply(variables, image, train=False, raw_output=True)
         heatmaps = plateau_nms(clamped_sigmoid(raw[..., :nb_hm]))
         return jnp.concatenate((heatmaps, raw[..., nb_hm:]), axis=-1)
@@ -60,12 +59,20 @@ def make_export_fn(model, variables, n_labels: int, n_parts: int,
 def export_model(config, variables, path, batch_size: int = 1,
                  fold_normalization: bool = False,
                  dynamic_batch: bool = False,
+                 uint8_input: bool = False,
                  platforms=("cpu", "tpu")) -> Path:
     """Serialize the inference graph + metadata into a `.sdz` zip.
 
     `dynamic_batch` exports with a symbolic batch dimension
     (`jax.export.symbolic_shape`) so one artifact serves any batch size;
-    otherwise `batch_size` is baked in as a static shape."""
+    otherwise `batch_size` is baked in as a static shape.
+
+    `uint8_input` (requires `fold_normalization`) bakes a uint8 RGB
+    input signature: the artifact takes raw bytes and normalizes
+    on-device — a 4x smaller feed than pre-normalized float32."""
+    if uint8_input and not fold_normalization:
+        raise ValueError("uint8_input requires fold_normalization (the graph "
+                         "must own the /255 + mean/std normalization)")
     from jax import export as jexport
 
     from .models.network import build_model
@@ -79,7 +86,8 @@ def export_model(config, variables, path, batch_size: int = 1,
     else:
         lead = batch_size
     x_spec = jax.ShapeDtypeStruct(
-        (lead, config.height, config.width, config.in_channels), jnp.float32
+        (lead, config.height, config.width, config.in_channels),
+        jnp.uint8 if uint8_input else jnp.float32,
     )
     # multi-platform lowering: one artifact serves CPU and TPU (the
     # reference's CoreML export is Apple-only; ours is portable)
@@ -97,6 +105,7 @@ def export_model(config, variables, path, batch_size: int = 1,
         "dynamic_batch": dynamic_batch,
         "platforms": list(platforms),
         "normalized": fold_normalization,
+        "input_dtype": "uint8" if uint8_input else "float32",
         "framework": "structuredetector-tpu",
         "version": "1",
     }
@@ -116,7 +125,9 @@ def load_exported(path) -> Tuple[Any, Dict[str, Any]]:
         metadata = json.loads(zf.read(METADATA_NAME))
         exported = jexport.deserialize(zf.read(GRAPH_NAME))
 
+    dtype = jnp.uint8 if metadata.get("input_dtype") == "uint8" else jnp.float32
+
     def call(image):
-        return exported.call(jnp.asarray(image, jnp.float32))
+        return exported.call(jnp.asarray(image, dtype))
 
     return call, metadata

@@ -25,16 +25,28 @@ from .train.steps import make_forward
 
 
 class Predictor:
-    def __init__(self, config, model_path: Optional[Path] = None):
+    def __init__(
+        self,
+        config,
+        model_path: Optional[Path] = None,
+        device_normalize: bool = True,
+    ):
+        """`device_normalize` (default): the host only resizes; uint8
+        pixels ship to the device and the /255 + ImageNet normalization
+        runs inside the jitted forward — 4x less host->device traffic.
+        Set False to normalize on the host in float32 (byte-identical
+        feed to the `evaluate` CLI path)."""
         self.config = config
         self.model, variables = init_model(config)
         path = model_path or config.pretrained_model
         if path:
             variables = resolve_variables(path, variables)
         self.variables = variables
-        self.transform = PredictionTransformation(config)
+        self.transform = PredictionTransformation(
+            config, device_normalize=device_normalize
+        )
         self.decoder = Decoder(config)
-        self._forward = make_forward(self.model)
+        self._forward = make_forward(self.model, from_uint8=device_normalize)
 
     def predict_image(self, image: Union[Image.Image, str, Path]) -> ImageAnnotation:
         """One image -> annotation in original pixel coordinates."""

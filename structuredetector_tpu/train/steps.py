@@ -154,11 +154,22 @@ def make_eval_step(model, config, *, out_h: int, out_w: int) -> Callable:
     return step
 
 
-def make_forward(model) -> Callable:
-    """Jitted inference forward."""
+def make_forward(model, from_uint8: bool = False) -> Callable:
+    """Jitted inference forward.
+
+    With `from_uint8`, the step consumes raw (B, H, W, 3) uint8 RGB and
+    performs the /255 + ImageNet mean/std normalization on-device (it
+    fuses into the stem convolution's input) — a 4x smaller host->device
+    transfer than pre-normalized float32, which is what a serving
+    deployment should feed.
+    """
 
     @jax.jit
     def forward(variables, images: jax.Array):
+        if from_uint8:
+            from ..ops.device_augment import normalize_images
+
+            images = normalize_images(images.astype(jnp.float32) / 255.0)
         return model.apply(variables, images, train=False)
 
     return forward

@@ -74,6 +74,35 @@ def test_export_dynamic_batch(tmp_path):
     np.testing.assert_allclose(out3[0], out1[0], atol=1e-5)
 
 
+def test_export_uint8_input(tmp_path):
+    """uint8 artifacts consume raw bytes and normalize on-device; the
+    result matches the float32 fold-normalization artifact exactly on
+    integral pixel values."""
+    cfg = make_config()
+    model, variables = init_model(cfg)
+
+    with pytest.raises(ValueError):
+        export_model(cfg, variables, tmp_path / "bad.sdz", uint8_input=True)
+
+    p8 = export_model(cfg, variables, tmp_path / "u8.sdz",
+                      fold_normalization=True, uint8_input=True)
+    pf = export_model(cfg, variables, tmp_path / "f32.sdz",
+                      fold_normalization=True)
+    call8, meta8 = load_exported(p8)
+    callf, metaf = load_exported(pf)
+    assert meta8["input_dtype"] == "uint8" and meta8["normalized"]
+    assert metaf["input_dtype"] == "float32"
+
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, (1, 32, 32, 3), np.uint8)
+    got = np.asarray(call8(u8))
+    want = np.asarray(callf(u8.astype(np.float32)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # load_exported casts per metadata: integral float input works too
+    np.testing.assert_allclose(np.asarray(call8(u8.astype(np.float32))), got,
+                               atol=1e-6)
+
+
 def test_export_roundtrip_other_backbone(tmp_path):
     """Exported artifacts carry whatever --backbone built them; the
     caller needs no model code, so no backbone flag on the load side."""

@@ -150,6 +150,58 @@ def test_predictor(tmp_path):
         assert 0 <= o.x <= 100 and 0 <= o.y <= 80
 
 
+@pytest.mark.slow  # compiles the full model twice
+def test_predictor_uint8_feed_matches_host_normalize():
+    """The default uint8 device-normalized feed decodes to the same
+    detections as host float32 normalization (the evaluate-path feed)."""
+    from structuredetector_tpu.predictor import Predictor
+
+    cfg = Config(width=64, height=64, max_objects=4, max_parts=8, fpn_depth=32,
+                 use_amp=False)
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    cfg.anchor_name = "stem"
+
+    rng = np.random.default_rng(7)
+    img = Image.fromarray(rng.integers(0, 256, (80, 100, 3), np.uint8))
+
+    dev = Predictor(cfg, device_normalize=True)
+    host = Predictor(cfg, device_normalize=False)
+    # same random init for both
+    host.variables = dev.variables
+
+    a = dev.predict_image(img)
+    b = host.predict_image(img)
+    assert len(a.objects) == len(b.objects)
+    for oa, ob in zip(a.objects, b.objects):
+        assert oa.name == ob.name
+        assert oa.x == pytest.approx(ob.x, abs=1e-2)
+        assert oa.y == pytest.approx(ob.y, abs=1e-2)
+
+
+def test_uint8_forward_matches_host_normalize():
+    """make_forward(from_uint8=True) on raw bytes == host Normalize +
+    plain forward, within fp32 tolerance."""
+    from structuredetector_tpu.data.augment import Normalize
+    from structuredetector_tpu.models import init_model
+    from structuredetector_tpu.train.steps import make_forward
+
+    cfg = Config(width=32, height=32, fpn_depth=16, max_objects=2, max_parts=4,
+                 use_amp=False)
+    cfg.set_labels(["bean"], ["leaf"])
+    model, variables = init_model(cfg)
+
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, (2, 32, 32, 3), np.uint8)
+    host_in = np.stack([Normalize()(Image.fromarray(im)) for im in u8])
+
+    got = make_forward(model, from_uint8=True)(variables, jnp.asarray(u8))
+    want = make_forward(model)(variables, jnp.asarray(host_in))
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), atol=2e-4
+        )
+
+
 @pytest.mark.slow  # compiles + exports the full model
 def test_export_normalization_folding(tmp_path):
     from structuredetector_tpu.export import export_model, load_exported
