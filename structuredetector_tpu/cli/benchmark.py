@@ -41,6 +41,9 @@ def main(argv=None):
     p.add_argument("--batch_size", "-b", type=int, default=32)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--fp32", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="Int8 inference convs (models/quantize.py); skips "
+                        "the train-step section (int8 is inference-only).")
     p.add_argument("--json", action="store_true", dest="as_json")
     args = p.parse_args(argv)
 
@@ -51,12 +54,17 @@ def main(argv=None):
     from ..train.state import create_train_state, make_optimizer
     from ..train.steps import make_train_step
 
-    cfg = Config(width=args.width, height=args.height, use_amp=not args.fp32)
+    cfg = Config(width=args.width, height=args.height, use_amp=not args.fp32,
+                 int8=args.int8)
     cfg.set_labels(["bean", "maize"], ["leaf"])
     cfg.validate()
     b = args.batch_size
 
     model, variables = init_model(cfg)
+    if args.int8:
+        from ..models.quantize import prequantize_variables
+
+        variables = prequantize_variables(variables)
     images = jnp.zeros((b, cfg.height, cfg.width, 3), jnp.float32)
     on_tpu = jax.default_backend() == "tpu"
 
@@ -132,6 +140,11 @@ def main(argv=None):
         t = _time(dec, maps, iters=args.iters)
         results[f"decode_{name}_us_per_img"] = t / b * 1e6
 
+    if args.int8:
+        # int8 is inference-only (the model rejects train=True)
+        _report(results, args, cfg, b)
+        return
+
     # train step
     optimizer = make_optimizer(cfg, steps_per_epoch=100)
     state = create_train_state(cfg, variables, optimizer)
@@ -152,11 +165,16 @@ def main(argv=None):
     t = _time(train_fn, state, images, kp, iters=max(5, args.iters // 2))
     results["train_step_imgs_per_s"] = b / t
 
+    _report(results, args, cfg, b)
+
+
+def _report(results, args, cfg, b):
     if args.as_json:
         print(json.dumps({k: round(v, 2) for k, v in results.items()}))
     else:
+        dtype = "fp32" if args.fp32 else ("int8" if args.int8 else "bf16")
         print(f"backend={jax.default_backend()} batch={b} "
-              f"{args.width}x{args.height} dtype={'fp32' if args.fp32 else 'bf16'}")
+              f"{args.width}x{args.height} dtype={dtype}")
         for k, v in results.items():
             print(f"  {k:28s} {v:12.2f}")
 

@@ -39,6 +39,9 @@ def parse_args(argv=None):
                    help="Bake a uint8 RGB input signature (implies --norm): "
                         "the artifact consumes raw bytes and normalizes "
                         "on-device — 4x smaller feed than float32.")
+    p.add_argument("--int8", action="store_true",
+                   help="Bake int8 inference convs into the graph (dynamic "
+                        "activation + per-channel weight quantization).")
     return p.parse_args(argv)
 
 
@@ -52,6 +55,7 @@ def main(argv=None):
     config = Config(
         width=args.width, height=args.height, fpn_depth=args.fpn_depth,
         down_ratio=float(args.scale_factor), anchor_name=args.anchor_name,
+        int8=args.int8,
     ).set_labels(names["labels"], names["parts"])
     config.validate()
 

@@ -101,6 +101,10 @@ class Config:
     # taps then train freely, so an s2d-trained checkpoint requires this
     # flag to load.
     s2d_stem: bool = False
+    # Int8 inference: residual-block + FPN convs quantize dynamically to
+    # s8xs8->s32 MXU ops (2x bf16 peak on v5e). Inference only — train
+    # rejects it. See models/quantize.py.
+    int8: bool = False
     debug_nans: bool = False  # enable jax_debug_nans (SURVEY.md §5)
     resume_dir: Optional[Path] = None  # trainings/<ts> dir to resume from
     # evaluation device batch (metrics identical; >1 amortizes dispatch)
@@ -329,6 +333,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="Space-to-depth stem: equivalent 4x4/1 conv on 12 "
                         "channels instead of 7x7/2 on 3 (faster on the MXU; "
                         "changes the checkpoint stem layout).")
+    p.add_argument("--int8", action="store_true",
+                   help="Int8 inference mode: dynamic activation + "
+                        "per-channel weight quantization on the MXU "
+                        "(evaluate/detect/benchmark only).")
     p.add_argument("--debug_nans", action="store_true",
                    help="Enable jax_debug_nans for fault isolation.")
     p.add_argument("--resume", dest="resume_dir", type=str, default=None,
@@ -385,6 +393,7 @@ def config_from_args(argv=None) -> Config:
         pretrained_backbone=ns.pretrained_backbone,
         backbone=ns.backbone,
         s2d_stem=ns.s2d_stem,
+        int8=ns.int8,
         debug_nans=ns.debug_nans,
         resume_dir=_opt_path(ns.resume_dir),
         eval_batch_size=max(1, ns.eval_batch_size),

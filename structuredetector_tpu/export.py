@@ -78,6 +78,12 @@ def export_model(config, variables, path, batch_size: int = 1,
     from .models.network import build_model
 
     model = build_model(config)
+    if getattr(config, "int8", False):
+        # embed int8 weights (4x smaller artifact, no quantize ops in
+        # the graph); Int8Conv detects the dtype and skips requantizing
+        from .models.quantize import prequantize_variables
+
+        variables = prequantize_variables(variables)
     fn = make_export_fn(model, variables, config.n_labels, config.n_parts,
                         fold_normalization=fold_normalization)
     if dynamic_batch:
@@ -106,6 +112,7 @@ def export_model(config, variables, path, batch_size: int = 1,
         "platforms": list(platforms),
         "normalized": fold_normalization,
         "input_dtype": "uint8" if uint8_input else "float32",
+        "int8": bool(getattr(config, "int8", False)),
         "framework": "structuredetector-tpu",
         "version": "1",
     }

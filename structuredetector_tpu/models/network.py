@@ -28,6 +28,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .quantize import conv
 from .resnet import ResNet34Encoder
 
 
@@ -45,16 +46,18 @@ class FpnBlock(nn.Module):
 
     filters: int
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False  # inference-only int8 convs (models.quantize)
 
     @nn.compact
     def __call__(self, x, skip, train: bool):
-        lateral = nn.Conv(
-            self.filters, (1, 1), use_bias=True, dtype=self.dtype, name="lateral"
+        lateral = conv(
+            self.filters, (1, 1), use_bias=True, dtype=self.dtype,
+            name="lateral", int8=self.int8,
         )(skip)
         y = upsample2x_nearest(x) + lateral
-        y = nn.Conv(
+        y = conv(
             self.filters, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
-            name="conv",
+            name="conv", int8=self.int8,
         )(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -74,6 +77,11 @@ class SDNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     s2d_stem: bool = False  # see resnet.ResNet34Encoder.s2d_stem
     backbone: str = "resnet34"  # any key of resnet.ARCHS
+    # int8 inference: residual-block + FPN convs run s8xs8->s32 on the
+    # MXU (2x bf16 peak on v5e); stem and head stay float (MXU-underfilled
+    # 3- and M+N+4-channel contractions; the head feeds decode thresholds).
+    # Inference-only: training with int8 is rejected.
+    int8: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -83,18 +91,24 @@ class SDNet(nn.Module):
     def __call__(
         self, x: jax.Array, train: bool = False, raw_output: bool = False
     ):
+        if self.int8 and train:
+            raise ValueError("int8 is an inference-only mode; train in float")
         x = x.astype(self.dtype)
         c2, c3, c4, c5 = ResNet34Encoder(
             dtype=self.dtype, arch=self.backbone, s2d_stem=self.s2d_stem,
-            name="encoder",
+            int8=self.int8, name="encoder",
         )(x, train=train)
 
-        f4 = nn.Conv(
-            self.fpn_depth, (1, 1), use_bias=True, dtype=self.dtype, name="up1"
+        f4 = conv(
+            self.fpn_depth, (1, 1), use_bias=True, dtype=self.dtype, name="up1",
+            int8=self.int8,
         )(c5)
-        f3 = FpnBlock(self.fpn_depth, dtype=self.dtype, name="up2")(f4, c4, train=train)
-        f2 = FpnBlock(self.fpn_depth, dtype=self.dtype, name="up3")(f3, c3, train=train)
-        f1 = FpnBlock(self.fpn_depth, dtype=self.dtype, name="up4")(f2, c2, train=train)
+        f3 = FpnBlock(self.fpn_depth, dtype=self.dtype, int8=self.int8,
+                      name="up2")(f4, c4, train=train)
+        f2 = FpnBlock(self.fpn_depth, dtype=self.dtype, int8=self.int8,
+                      name="up3")(f3, c3, train=train)
+        f1 = FpnBlock(self.fpn_depth, dtype=self.dtype, int8=self.int8,
+                      name="up4")(f2, c2, train=train)
 
         out = nn.Conv(
             self.out_channels, (1, 1), use_bias=True, dtype=self.dtype, name="head"
@@ -121,6 +135,7 @@ def build_model(config, dtype: Optional[jnp.dtype] = None) -> SDNet:
         dtype=dtype if dtype is not None else config.compute_dtype,
         s2d_stem=getattr(config, "s2d_stem", False),
         backbone=getattr(config, "backbone", "resnet34"),
+        int8=getattr(config, "int8", False),
     )
 
 

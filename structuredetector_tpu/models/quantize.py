@@ -1,0 +1,175 @@
+"""Int8 inference convolution for the MXU.
+
+TPU v5e executes s8 x s8 -> s32 convolutions at twice the bf16 peak
+(394 vs 197 TOPS). This module provides a drop-in conv for *inference*
+quantization:
+
+- weights: symmetric per-output-channel int8, scale = amax/127,
+  quantized from the float checkpoint at call time (pre-quantize with
+  `prequantize_variables` to hoist this out of the serving graph);
+- activations: symmetric per-tensor *dynamic* int8 — the scale is
+  computed from the live tensor, so no calibration dataset is needed
+  (the reference ships none, and this sandbox has no real data);
+- accumulation in int32 on the MXU, dequantized as
+  `y * (x_scale * w_scale[c])` fused into the following elementwise ops.
+
+The param tree is identical to `flax.linen.Conv` ("kernel", "bias"),
+so any trained checkpoint loads transparently. Training always uses
+the float path (`nn.Conv`); quantized training is out of scope.
+
+No counterpart exists in the reference (its CoreML export runs fp16 on
+the ANE, README.md:114); this is TPU-native serving surface.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Padding = Union[str, int, Sequence[Tuple[int, int]]]
+
+
+def _abs_max(x: jax.Array, axes) -> jax.Array:
+    return jnp.max(jnp.abs(x), axis=axes)
+
+
+def quantize_symmetric(x: jax.Array, scale: jax.Array) -> jax.Array:
+    """Round to int8 at `scale` (broadcastable), clipped to [-127, 127]."""
+    q = jnp.round(x / scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def weight_qparams(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(HWIO float kernel) -> (int8 kernel, per-Cout float32 scale)."""
+    kernel = kernel.astype(jnp.float32)
+    amax = _abs_max(kernel, axes=(0, 1, 2))
+    scale = jnp.where(amax > 0, amax, 1.0) / 127.0
+    return quantize_symmetric(kernel, scale), scale
+
+
+class Int8Conv(nn.Module):
+    """Inference-only conv: dynamic per-tensor int8 activations x
+    per-channel int8 weights -> int32 MXU accumulation -> dequant.
+
+    Same constructor surface (subset) and parameter names as `nn.Conv`.
+    """
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Union[int, Tuple[int, int]] = 1
+    padding: Padding = "SAME"
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+        if kernel.dtype == jnp.int8:
+            # pre-quantized tree (prequantize_variables): the kernel is
+            # already int8 and its per-channel scale sits alongside it
+            w_q = kernel
+            w_scale = self.param(
+                "kernel_scale", nn.initializers.ones, (self.features,), jnp.float32
+            )
+        else:
+            w_q, w_scale = weight_qparams(kernel)
+
+        x = x.astype(jnp.float32)
+        x_amax = _abs_max(x, axes=tuple(range(x.ndim)))
+        x_scale = jnp.where(x_amax > 0, x_amax, 1.0) / 127.0
+        x_q = quantize_symmetric(x, x_scale)
+
+        strides = (
+            (self.strides, self.strides)
+            if isinstance(self.strides, int)
+            else tuple(self.strides)
+        )
+        padding = self.padding
+        if isinstance(padding, int):
+            padding = ((padding, padding), (padding, padding))
+
+        y = lax.conv_general_dilated(
+            x_q,
+            w_q,
+            window_strides=strides,
+            padding=padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * (x_scale * w_scale)
+        if bias is not None:
+            y = y + bias
+        return y.astype(self.dtype)
+
+
+def _int8_eligible(path: Tuple[str, ...]) -> bool:
+    """Whether the conv module at `path` (params-tree key path) runs int8.
+
+    Mirrors SDNet/ResNet34Encoder: every residual-block and FPN conv is
+    int8; the stem (`encoder/conv1`) and the `head` conv stay float."""
+    if not path or path[-1] == "head":
+        return False
+    if len(path) >= 2 and path[-2] == "encoder" and path[-1] == "conv1":
+        return False
+    return True
+
+
+def prequantize_variables(variables: Mapping) -> dict:
+    """Pre-quantize the int8-eligible conv kernels of a float checkpoint.
+
+    Returns a new variables pytree where each kernel that `Int8Conv`
+    would otherwise quantize per call is stored as int8, with its
+    per-output-channel float32 scale alongside as `kernel_scale`.
+    `Int8Conv` detects the int8 dtype and skips requantization, so this
+    hoists the weight-quantization ops (and the float weight reads) out
+    of the serving graph — use it before `export_model` so the artifact
+    embeds 4x-smaller weights. Bit-identical to the dynamic path."""
+
+    def walk(tree, path):
+        out = {}
+        for name, val in tree.items():
+            out[name] = walk(val, path + (name,)) if isinstance(val, Mapping) else val
+        kernel = out.get("kernel")
+        if (
+            kernel is not None
+            and not isinstance(kernel, Mapping)
+            and getattr(kernel, "ndim", 0) == 4
+            and _int8_eligible(path)
+        ):
+            out["kernel"], out["kernel_scale"] = weight_qparams(kernel)
+        return out
+
+    out = dict(variables)
+    out["params"] = walk(variables["params"], ())
+    return out
+
+
+def conv(features, kernel_size, *, strides=1, padding="SAME", use_bias=True,
+         dtype=jnp.float32, name=None, int8=False):
+    """`nn.Conv` or `Int8Conv` with an identical parameter tree —
+    the model modules pick per the `int8` inference flag."""
+    if int8:
+        return Int8Conv(
+            features=features, kernel_size=tuple(kernel_size), strides=strides,
+            padding=padding, use_bias=use_bias, dtype=dtype, name=name,
+        )
+    return nn.Conv(
+        features, tuple(kernel_size), strides=strides, padding=padding,
+        use_bias=use_bias, dtype=dtype, name=name,
+    )

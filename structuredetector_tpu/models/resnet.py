@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .quantize import conv
+
 STAGE_SIZES = (3, 4, 6, 3)  # resnet34
 STAGE_WIDTHS = (64, 128, 256, 512)
 
@@ -65,13 +67,14 @@ class BasicBlock(nn.Module):
     filters: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False  # inference-only int8 convs (models.quantize)
 
     @nn.compact
     def __call__(self, x, train: bool):
         identity = x
-        y = nn.Conv(
+        y = conv(
             self.filters, (3, 3), strides=self.stride, padding=1, use_bias=False,
-            dtype=self.dtype, name="conv1",
+            dtype=self.dtype, name="conv1", int8=self.int8,
         )(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -82,9 +85,9 @@ class BasicBlock(nn.Module):
         # inter-fusion buffers are bf16 (halves HBM traffic of the
         # bandwidth-bound train-step tail).
         y = nn.relu(y.astype(self.dtype))
-        y = nn.Conv(
+        y = conv(
             self.filters, (3, 3), strides=1, padding=1, use_bias=False,
-            dtype=self.dtype, name="conv2",
+            dtype=self.dtype, name="conv2", int8=self.int8,
         )(y)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -93,9 +96,9 @@ class BasicBlock(nn.Module):
         y = y.astype(self.dtype)
 
         if self.stride != 1 or identity.shape[-1] != self.filters:
-            identity = nn.Conv(
+            identity = conv(
                 self.filters, (1, 1), strides=self.stride, use_bias=False,
-                dtype=self.dtype, name="downsample_conv",
+                dtype=self.dtype, name="downsample_conv", int8=self.int8,
             )(identity)
             identity = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -113,6 +116,7 @@ class Bottleneck(nn.Module):
     filters: int  # base width; output channels = 4 * filters
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
+    int8: bool = False  # inference-only int8 convs (models.quantize)
     EXPANSION = 4
 
     @nn.compact
@@ -127,20 +131,21 @@ class Bottleneck(nn.Module):
             )(y)
             return y.astype(self.dtype)  # bf16 activations, f32 BN math
 
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype,
+                 name="conv1", int8=self.int8)(x)
         y = nn.relu(bn(y, "bn1"))
-        y = nn.Conv(self.filters, (3, 3), strides=self.stride, padding=1,
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = conv(self.filters, (3, 3), strides=self.stride, padding=1,
+                 use_bias=False, dtype=self.dtype, name="conv2",
+                 int8=self.int8)(y)
         y = nn.relu(bn(y, "bn2"))
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+        y = conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                 name="conv3", int8=self.int8)(y)
         y = bn(y, "bn3")
 
         if self.stride != 1 or identity.shape[-1] != out_ch:
-            identity = nn.Conv(
+            identity = conv(
                 out_ch, (1, 1), strides=self.stride, use_bias=False,
-                dtype=self.dtype, name="downsample_conv",
+                dtype=self.dtype, name="downsample_conv", int8=self.int8,
             )(identity)
             identity = bn(identity, "downsample_bn")
 
@@ -165,6 +170,10 @@ class ResNet34Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     arch: str = "resnet34"
     stage_widths: Sequence[int] = STAGE_WIDTHS
+    # int8 inference convs in the residual blocks (models.quantize).
+    # The stem stays float: its 3-channel contraction underfills the MXU
+    # whatever the dtype, and the normalized input has the widest range.
+    int8: bool = False
     # Space-to-depth stem: mathematically equivalent 4x4/1 conv on 12
     # channels instead of 7x7/2 on 3 (see stem_kernel_to_s2d). The 3-in-
     # channel strided conv is the single worst-mapped op on the MXU; the
@@ -198,7 +207,7 @@ class ResNet34Encoder(nn.Module):
             for block in range(n_blocks):
                 stride = 2 if stage > 0 and block == 0 else 1
                 x = block_cls(
-                    width, stride=stride, dtype=self.dtype,
+                    width, stride=stride, dtype=self.dtype, int8=self.int8,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train=train)
             feats.append(x)

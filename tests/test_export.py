@@ -116,3 +116,23 @@ def test_export_roundtrip_other_backbone(tmp_path):
     got = np.asarray(call(x))
     fn = make_export_fn(build_model(cfg), variables, cfg.n_labels, cfg.n_parts)
     np.testing.assert_allclose(got, np.asarray(fn(jnp.asarray(x))), atol=1e-5)
+
+
+def test_export_int8_roundtrip(tmp_path):
+    """--int8 export: the artifact embeds pre-quantized int8 kernels and
+    reproduces the live int8 model exactly."""
+    from structuredetector_tpu.models.quantize import prequantize_variables
+
+    cfg = make_config()
+    cfg.int8 = True
+    _, variables = init_model(make_config())  # float checkpoint
+    path = export_model(cfg, variables, tmp_path / "model8.sdz", batch_size=2)
+    call, meta = load_exported(path)
+    assert meta["int8"] is True
+
+    x = np.random.default_rng(1).normal(0, 1, (2, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(call(x))
+    fn = make_export_fn(build_model(cfg), prequantize_variables(variables),
+                        cfg.n_labels, cfg.n_parts)
+    want = np.asarray(fn(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5)

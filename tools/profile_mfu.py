@@ -25,6 +25,7 @@ def main():
     iters = 5
     cfg = Config(width=512, height=512, use_amp=True, batch_size=batch,
                  s2d_stem="s2d" in sys.argv[2:],
+                 int8="int8" in sys.argv[2:],
                  backbone=next((a for a in sys.argv[2:] if a.startswith("resnet")), "resnet34"))
     cfg.set_labels(["bean", "maize"], ["leaf"])
     cfg.validate()
@@ -48,6 +49,8 @@ def main():
     fwd = dict(ms=dt * 1e3, imgs=batch / dt, gflop_img=fwd_flops / batch / 1e9,
                mfu=fwd_flops / dt / PEAK_BF16)
     print("forward", json.dumps({k: round(v, 3) for k, v in fwd.items()}))
+    if cfg.int8:
+        return  # int8 is inference-only; skip the train-step section
 
     # ---- train step ----
     tx = optax.adam(1e-3)
