@@ -41,10 +41,14 @@ def main():
 
     images = jnp.zeros((batch, 512, 512, 3), jnp.float32)
     jfwd = jax.jit(fwd_loop)
-    lowered = jfwd.lower(variables, images)
-    compiled = lowered.compile()
-    ca = compiled.cost_analysis()
-    fwd_flops = ca.get("flops", 0.0) / iters
+    # FLOPs from an UN-scanned single forward: cost_analysis counts a
+    # lax.scan body once regardless of trip count, so dividing the
+    # scanned program's flops by `iters` under-reports by that factor.
+    ca = (
+        jax.jit(lambda v, x: model.apply(v, x, train=False))
+        .lower(variables, images).compile().cost_analysis()
+    )
+    fwd_flops = ca.get("flops", 0.0)
     dt = timed(jfwd, variables, images) / iters
     fwd = dict(ms=dt * 1e3, imgs=batch / dt, gflop_img=fwd_flops / batch / 1e9,
                mfu=fwd_flops / dt / PEAK_BF16)
@@ -78,8 +82,10 @@ def main():
         return losses
 
     jtr = jax.jit(train_loop)
-    ca2 = jtr.lower(state, images, kp).compile().cost_analysis()
-    tr_flops = ca2.get("flops", 0.0) / iters
+    # un-scanned single step for the same scan-undercount reason; keep
+    # the full (state, stats) output so backward+update aren't DCEd
+    ca2 = jax.jit(step).lower(state, images, kp).compile().cost_analysis()
+    tr_flops = ca2.get("flops", 0.0)
     dt = timed(jtr, state, images, kp) / iters
     tr = dict(ms=dt * 1e3, imgs=batch / dt, gflop_img=tr_flops / batch / 1e9,
               mfu=tr_flops / dt / PEAK_BF16)
