@@ -23,14 +23,28 @@ def _sync(out):
     jax.device_get(jax.tree.leaves(out)[0])
 
 
-def _time(fn, *args, iters=20, warmup=2):
-    for _ in range(warmup):
-        out = fn(*args)
-    _sync(out)
+def _chain_time(step_fn, *args, iters=20):
+    """Seconds per application of `step_fn`, measured by chaining `iters`
+    applications inside ONE jitted `lax.scan` with a loop-carried data
+    dependence. Per-call dispatch through a tunneled backend costs
+    ~20-30 ms — per-call timing over-reports device time severely (and
+    can even rank a subset of the work slower than a superset), so every
+    section here chains.
+
+    step_fn(carry: f32 scalar, *args) -> f32 scalar feeding the next carry.
+    """
+    from jax import lax
+
+    @jax.jit
+    def loop(*a):
+        def body(carry, _):
+            return step_fn(carry, *a), None
+        carry, _ = lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return carry
+
+    float(loop(*args))  # compile + first run
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    _sync(out)
+    float(loop(*args))
     return (time.perf_counter() - t0) / iters
 
 
@@ -70,25 +84,29 @@ def main(argv=None):
 
     results = {}
 
-    forward = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    t = _time(forward, variables, images, iters=args.iters)
+    def fwd_step(carry, v, x):
+        out = model.apply(v, x + carry * 1e-12, train=False)
+        return out["anchor_hm"][0, 0, 0, 0]
+
+    t = _chain_time(fwd_step, variables, images, iters=args.iters)
     results["forward_fps"] = b / t
 
-    def make_infer(nms_fn):
-        @jax.jit
-        def infer(v, x):
-            return decode_feature_maps(
-                model.apply(v, x, train=False),
+    def make_infer_step(nms_fn):
+        def infer_step(carry, v, x):
+            d = decode_feature_maps(
+                model.apply(v, x + carry * 1e-12, train=False),
                 max_objects=cfg.max_objects, max_parts=cfg.max_parts,
                 conf_thresh=cfg.conf_threshold, dist_thresh=cfg.decoder_dist_thresh,
                 nms_fn=nms_fn, with_metadata=False,
             )
-        return infer
+            return d["anchors"][0, 0, 2]
+        return infer_step
 
-    t = _time(make_infer(None), variables, images, iters=args.iters)
+    t = _chain_time(make_infer_step(None), variables, images, iters=args.iters)
     results["e2e_xla_fps"] = b / t
     if on_tpu:
-        t = _time(make_infer(fused_sigmoid_nms), variables, images, iters=args.iters)
+        t = _chain_time(make_infer_step(fused_sigmoid_nms), variables, images,
+                        iters=args.iters)
         results["e2e_pallas_fps"] = b / t
 
     # batch-1 end-to-end latency: steps chained inside one jitted scan
@@ -133,11 +151,15 @@ def main(argv=None):
         "embeddings": jnp.zeros((b, out_h, out_w, 2)),
     }
     for name, nms_fn in (("xla", None),) + ((("pallas", fused_sigmoid_nms),) if on_tpu else ()):
-        dec = jax.jit(lambda m, f=nms_fn: decode_feature_maps(
-            m, max_objects=cfg.max_objects, max_parts=cfg.max_parts,
-            conf_thresh=cfg.conf_threshold, dist_thresh=cfg.decoder_dist_thresh,
-            nms_fn=f, with_metadata=False))
-        t = _time(dec, maps, iters=args.iters)
+        def dec_step(carry, m, f=nms_fn):
+            d = decode_feature_maps(
+                {**m, "anchor_hm": m["anchor_hm"] + carry * 1e-12},
+                max_objects=cfg.max_objects, max_parts=cfg.max_parts,
+                conf_thresh=cfg.conf_threshold,
+                dist_thresh=cfg.decoder_dist_thresh,
+                nms_fn=f, with_metadata=False)
+            return d["anchors"][0, 0, 2]
+        t = _chain_time(dec_step, maps, iters=args.iters)
         results[f"decode_{name}_us_per_img"] = t / b * 1e6
 
     if args.int8:
@@ -158,11 +180,24 @@ def main(argv=None):
         "part_owner_xy": jnp.ones((b, pmax, 2)), "part_mask": jnp.ones((b, pmax), bool),
     }
 
-    def train_fn(s, x, k):
-        new_s, stats = step(s, x, k)
-        return stats["total_loss"]
+    # the train chain carries the full train state (real step-to-step
+    # dependence), not just a scalar
+    from jax import lax
 
-    t = _time(train_fn, state, images, kp, iters=max(5, args.iters // 2))
+    tr_iters = max(5, args.iters // 2)
+
+    @jax.jit
+    def train_loop(s, x, k):
+        def body(st, _):
+            st2, stats = step(st, x, k)
+            return st2, stats["total_loss"]
+        _, losses = lax.scan(body, s, None, length=tr_iters)
+        return losses[-1]
+
+    float(train_loop(state, images, kp))
+    t0 = time.perf_counter()
+    float(train_loop(state, images, kp))
+    t = (time.perf_counter() - t0) / tr_iters
     results["train_step_imgs_per_s"] = b / t
 
     _report(results, args, cfg, b)

@@ -4,4 +4,5 @@ from .mesh import (  # noqa: F401
     create_mesh,
     param_shardings,
     replicated_sharding,
+    spatial_sharding,
 )

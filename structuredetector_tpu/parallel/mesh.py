@@ -83,6 +83,16 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) activations: batch over "data" AND image rows over
+    "model" — spatial partitioning, the TPU-native scale-out for inputs
+    too large for one chip (SURVEY.md §5: the reference's scale axis is
+    image resolution, not sequence length). Under GSPMD a convolution on
+    row-sharded activations gets its kernel-height-1 halo rows exchanged
+    over ICI automatically; no manual collective code."""
+    return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
 def _kernel_spec(path_leaf_name: str, shape, model_size: int) -> P:
     """Shard conv kernels (H, W, Cin, Cout) on Cout over "model" when it
     divides evenly; replicate everything else."""

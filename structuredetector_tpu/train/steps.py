@@ -188,18 +188,27 @@ def kp_to_device_dict(kp) -> Dict[str, jnp.ndarray]:
     }
 
 
-def make_sharded_forward(model, mesh) -> Callable:
+def make_sharded_forward(model, mesh, spatial: bool = False) -> Callable:
     """Data-parallel batched inference over a mesh: the batch shards
     over "data" (via an internal constraint, see make_train_step notes),
-    variables replicate. Serving-side SPMD analog of the DP train step."""
-    from ..parallel.mesh import batch_sharding
+    variables replicate. Serving-side SPMD analog of the DP train step.
+
+    With `spatial=True` the image-row dimension additionally shards over
+    the "model" axis (spatial partitioning): GSPMD inserts the conv halo
+    exchanges over ICI, so a single giant image can ride multiple chips
+    — the scale-out for resolutions whose activations exceed one chip's
+    HBM. Output heatmaps come back row-sharded the same way; the decode
+    top-k runs globally, so results are identical to single-chip."""
+    from ..parallel.mesh import batch_sharding, spatial_sharding
 
     if mesh is None or mesh.size <= 1:
         return make_forward(model)
 
+    sharding_of = spatial_sharding if spatial else batch_sharding
+
     @jax.jit
     def forward(variables, images: jax.Array):
-        images = jax.lax.with_sharding_constraint(images, batch_sharding(mesh))
+        images = jax.lax.with_sharding_constraint(images, sharding_of(mesh))
         return model.apply(variables, images, train=False)
 
     return forward
