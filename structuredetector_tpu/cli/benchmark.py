@@ -35,6 +35,10 @@ def _chain_time(step_fn, *args, iters=20):
     """
     from jax import lax
 
+    # scan trip count doesn't affect compile time (the body compiles
+    # once), so chain at least 50 steps to drown the ~20-30 ms dispatch
+    iters = max(iters, 50)
+
     @jax.jit
     def loop(*a):
         def body(carry, _):
@@ -184,7 +188,7 @@ def main(argv=None):
     # dependence), not just a scalar
     from jax import lax
 
-    tr_iters = max(5, args.iters // 2)
+    tr_iters = max(20, args.iters // 2)
 
     @jax.jit
     def train_loop(s, x, k):

@@ -28,6 +28,9 @@ def main(argv=None):
         "No pretrained model specified. Use the option '--load_model <model_path>'."
     )
 
+    if config.tiled:
+        return _main_tiled(config)
+
     # uint8 feed + on-device normalization: 4x less host->device traffic
     dataset = PredictionDataset(
         config.valid_dir, PredictionTransformation(config, device_normalize=True)
@@ -50,6 +53,36 @@ def main(argv=None):
         annotation = decoder(outputs)[0]
         annotation.resize((config.width, config.height), img_size)
         annotation.img_size = img_size
+        annotation.image_path = Path(image_path)
+
+        image = Image.open(image_path)
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+        overlay = draw(image, annotation, config)
+
+        annotation.save_json(out_dir)
+        overlay.save(out_dir / Path(image_path).name)
+
+
+def _main_tiled(config):
+    """--tiled: native-resolution sliding-window detection. Images keep
+    full detail (no downscale); cross-tile duplicates merge by anchor
+    score (Predictor.predict_tiled)."""
+    from ..annotations import files_with_extension
+    from ..predictor import Predictor
+
+    predictor = Predictor(config)
+    out_dir = Path("predictions")
+    out_dir.mkdir(exist_ok=True)
+
+    paths = sorted(
+        files_with_extension(config.valid_dir, ".jpg")
+        + files_with_extension(config.valid_dir, ".png")
+    )
+    for image_path in tqdm(paths, desc="Prediction", unit="image"):
+        annotation = predictor.predict_tiled(
+            image_path, overlap=config.tile_overlap
+        )
         annotation.image_path = Path(image_path)
 
         image = Image.open(image_path)

@@ -109,6 +109,10 @@ class Config:
     resume_dir: Optional[Path] = None  # trainings/<ts> dir to resume from
     # evaluation device batch (metrics identical; >1 amortizes dispatch)
     eval_batch_size: int = 1
+    # detect: sliding-window tiling for images larger than the network
+    # input (Predictor.predict_tiled) instead of downscaling them
+    tiled: bool = False
+    tile_overlap: float = 0.25  # fraction of shared border between tiles
 
     # label maps, filled by `finalize()`
     labels: Dict[str, int] = dataclasses.field(default_factory=dict)
@@ -345,6 +349,12 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--eval_batch_size", type=int, default=d.eval_batch_size,
                    help="Images per device batch during evaluation (metrics "
                         "are identical; larger batches amortize dispatch).")
+    p.add_argument("--tiled", action="store_true",
+                   help="detect: run sliding-window tiles at native "
+                        "resolution instead of downscaling the image "
+                        "(cross-tile duplicates are merged).")
+    p.add_argument("--tile_overlap", type=float, default=d.tile_overlap,
+                   help="Fraction of shared border between detect tiles.")
     return p
 
 
@@ -397,6 +407,8 @@ def config_from_args(argv=None) -> Config:
         debug_nans=ns.debug_nans,
         resume_dir=_opt_path(ns.resume_dir),
         eval_batch_size=max(1, ns.eval_batch_size),
+        tiled=ns.tiled,
+        tile_overlap=ns.tile_overlap,
     )
     if cfg.debug_nans:
         import jax

@@ -10,18 +10,71 @@ coordinates.
 
 from __future__ import annotations
 
+import math
 from pathlib import Path
-from typing import List, Optional, Sequence, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from .annotations import ImageAnnotation
+from .annotations import ImageAnnotation, Object
 from .data.augment import PredictionTransformation
 from .data.decoders import Decoder
 from .models.network import init_model, resolve_variables
 from .train.steps import make_forward
+
+
+def tile_grid(
+    img_w: int, img_h: int, tile_w: int, tile_h: int, overlap: float = 0.25
+) -> List[Tuple[int, int]]:
+    """Top-left corners of a sliding-window grid covering (img_w, img_h)
+    with tiles of (tile_w, tile_h) and at least `overlap` fraction of
+    shared border between neighbors. The last tile of each axis snaps
+    flush to the image edge, so coverage is exact without padding."""
+    if not 0.0 <= overlap < 1.0:
+        raise ValueError(f"overlap must be in [0, 1), got {overlap}")
+
+    def axis(size: int, tile: int) -> List[int]:
+        if size <= tile:
+            return [0]
+        stride = max(1, int(tile * (1.0 - overlap)))
+        xs = list(range(0, size - tile, stride))
+        xs.append(size - tile)
+        return xs
+
+    return [(x, y) for y in axis(img_h, tile_h) for x in axis(img_w, tile_w)]
+
+
+def merge_tiled_objects(objects: Sequence[Object], radius: float) -> List[Object]:
+    """Cross-tile deduplication: greedy pass over objects sorted by
+    anchor score (desc); an object is dropped if a kept object of the
+    same label has its anchor within `radius` pixels. Mirrors the
+    evaluator's greedy anchor-matching semantics so the highest-scored
+    detection of each physical object survives."""
+    kept: List[Object] = []
+    for obj in sorted(objects, key=lambda o: -(o.anchor.score or 0.0)):
+        dup = any(
+            k.name == obj.name
+            and math.hypot(k.anchor.x - obj.anchor.x, k.anchor.y - obj.anchor.y)
+            < radius
+            for k in kept
+        )
+        if not dup:
+            kept.append(obj)
+    return kept
+
+
+def _shift_object(obj: Object, dx: float, dy: float) -> Object:
+    for kp in [obj.anchor, *obj.parts]:
+        kp.x += dx
+        kp.y += dy
+    if obj.box is not None:
+        obj.box.x_min += dx
+        obj.box.x_max += dx
+        obj.box.y_min += dy
+        obj.box.y_max += dy
+    return obj
 
 
 class Predictor:
@@ -73,3 +126,53 @@ class Predictor:
             if hasattr(im, "filename") and im.filename:
                 ann.image_path = Path(im.filename)
         return annotations
+
+    def predict_tiled(
+        self,
+        image: Union[Image.Image, str, Path],
+        overlap: float = 0.25,
+        batch_size: int = 8,
+        dedup_radius: Optional[float] = None,
+    ) -> ImageAnnotation:
+        """Sliding-window detection for images larger than the network
+        input (orthomosaic-scale field imagery): crop network-sized
+        tiles on a `tile_grid`, run them through the same compiled
+        forward+decode as `predict_batch` (tiles need no resize, so
+        full detail is preserved), shift detections into global pixel
+        coordinates, and greedily merge cross-tile duplicates
+        (`merge_tiled_objects` — higher anchor score wins within
+        `dedup_radius`, default `dist_threshold * min(tile size)` to
+        match the evaluator's matching radius).
+
+        Tile batches are padded to a fixed `batch_size`, so exactly one
+        compiled graph serves any image size."""
+        if not isinstance(image, Image.Image):
+            image = Image.open(image)
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+
+        tw, th = self.config.width, self.config.height
+        corners = tile_grid(image.width, image.height, tw, th, overlap)
+        tiles = [image.crop((x, y, x + tw, y + th)) for x, y in corners]
+
+        objects: List[Object] = []
+        for start in range(0, len(tiles), batch_size):
+            chunk = tiles[start : start + batch_size]
+            n = len(chunk)
+            # pad to the static batch shape (one compiled graph)
+            chunk = chunk + [chunk[-1]] * (batch_size - n)
+            batch = jnp.asarray(np.stack([self.transform(t) for t in chunk]))
+            outputs = self._forward(self.variables, batch)
+            for ann, (x, y) in zip(
+                self.decoder(outputs)[:n], corners[start : start + n]
+            ):
+                objects.extend(_shift_object(o, x, y) for o in ann.objects)
+
+        radius = (
+            dedup_radius
+            if dedup_radius is not None
+            else self.config.dist_threshold * min(tw, th)
+        )
+        kept = merge_tiled_objects(objects, radius)
+        path = getattr(image, "filename", "") or "tiled"
+        return ImageAnnotation(path, objects=kept, img_size=image.size)
