@@ -42,7 +42,44 @@ def parse_args(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="Bake int8 inference convs into the graph (dynamic "
                         "activation + per-channel weight quantization).")
+    p.add_argument("--calibrate_dir", type=str, default=None,
+                   help="With --int8: directory of representative images; "
+                        "bakes static activation scales (no per-call amax "
+                        "pass — recovers batch-1 latency).")
+    p.add_argument("--calibrate_images", type=int, default=16,
+                   help="Max images sampled from --calibrate_dir.")
     return p.parse_args(argv)
+
+
+def _calibrated_variables(config, variables, cal_dir: Path, max_images: int):
+    """Static int8 activation scales from representative images: load +
+    resize + normalize exactly as the serving graph's conv stack sees
+    them, then record per-conv amax (models/quantize.py)."""
+    import numpy as np
+
+    from ..annotations import files_with_extension
+    from ..data.augment import PredictionTransformation
+    from ..models.network import build_model
+    from ..models.quantize import calibrate_activation_scales
+
+    paths = sorted(
+        files_with_extension(cal_dir, ".jpg") + files_with_extension(cal_dir, ".png")
+    )[:max_images]
+    if not paths:
+        raise SystemExit(f"--calibrate_dir {cal_dir}: no .jpg/.png images found")
+
+    from PIL import Image
+
+    transform = PredictionTransformation(config, device_normalize=False)
+    imgs = []
+    for p in paths:
+        im = Image.open(p)
+        if im.mode != "RGB":
+            im = im.convert("RGB")
+        imgs.append(transform(im))
+    batch = np.stack(imgs)
+
+    return calibrate_activation_scales(build_model(config), variables, [batch])
 
 
 def main(argv=None):
@@ -60,6 +97,14 @@ def main(argv=None):
     config.validate()
 
     variables = load_params(Path(args.model).expanduser().resolve())
+    if args.calibrate_dir:
+        if not args.int8:
+            raise SystemExit("--calibrate_dir requires --int8")
+        variables = _calibrated_variables(
+            config, variables,
+            Path(args.calibrate_dir).expanduser().resolve(),
+            args.calibrate_images,
+        )
     out = export_model(config, variables, args.output, batch_size=args.batch_size,
                        fold_normalization=args.norm or args.uint8_input,
                        dynamic_batch=args.dynamic_batch,

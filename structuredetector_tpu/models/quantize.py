@@ -91,8 +91,26 @@ class Int8Conv(nn.Module):
             w_q, w_scale = weight_qparams(kernel)
 
         x = x.astype(jnp.float32)
-        x_amax = _abs_max(x, axes=tuple(range(x.ndim)))
-        x_scale = jnp.where(x_amax > 0, x_amax, 1.0) / 127.0
+        if self.has_variable("params", "act_scale"):
+            # calibrated static scale (calibrate_activation_scales):
+            # no live amax pass — this is what fixes batch-1 latency,
+            # where the per-conv global reduction otherwise serializes
+            x_scale = self.param(
+                "act_scale", nn.initializers.ones, (), jnp.float32
+            )
+        else:
+            x_amax = _abs_max(x, axes=tuple(range(x.ndim)))
+            # record the observed input range when a calibration pass
+            # asks for it (no-op unless "calibration" is mutable; skipped
+            # at init, where every collection is mutable and the sow
+            # would leave a stray collection in the variable tree)
+            if not self.is_initializing():
+                self.sow(
+                    "calibration", "act_amax", x_amax,
+                    reduce_fn=jnp.maximum,
+                    init_fn=lambda: jnp.float32(0.0),
+                )
+            x_scale = jnp.where(x_amax > 0, x_amax, 1.0) / 127.0
         x_q = quantize_symmetric(x, x_scale)
 
         strides = (
@@ -157,6 +175,46 @@ def prequantize_variables(variables: Mapping) -> dict:
 
     out = dict(variables)
     out["params"] = walk(variables["params"], ())
+    return out
+
+
+def calibrate_activation_scales(model, variables: Mapping, batches) -> dict:
+    """Bake static per-conv activation scales from calibration data.
+
+    Runs each batch through the (dynamically-quantized) int8 model with
+    the "calibration" collection mutable, so every `Int8Conv` records
+    the max |input| it saw; the running max across batches becomes a
+    static `act_scale` (amax/127) param alongside the conv's kernel.
+    Serving with the returned tree skips the per-call global amax
+    reduction — the pass that dominates batch-1 latency — at the cost
+    of clipping inputs that exceed the calibrated range.
+
+    `batches` is an iterable of (B, H, W, C) image arrays, already
+    normalized exactly as at serving time. Calibrating and serving on
+    the same inputs is bit-identical to the dynamic path."""
+    amax = None
+    for x in batches:
+        _, mut = model.apply(variables, x, train=False, mutable=["calibration"])
+        cal = mut["calibration"]
+        amax = cal if amax is None else jax.tree.map(jnp.maximum, amax, cal)
+    if amax is None:
+        raise ValueError("calibration needs at least one batch")
+
+    def bake(params, cal):
+        out = {}
+        for name, val in params.items():
+            sub = cal.get(name) if isinstance(cal, Mapping) else None
+            if isinstance(val, Mapping):
+                out[name] = bake(val, sub if isinstance(sub, Mapping) else {})
+            else:
+                out[name] = val
+        if "act_amax" in cal and not isinstance(cal["act_amax"], Mapping):
+            a = jnp.asarray(cal["act_amax"], jnp.float32)
+            out["act_scale"] = jnp.where(a > 0, a, 1.0) / 127.0
+        return out
+
+    out = dict(variables)
+    out["params"] = bake(variables["params"], amax)
     return out
 
 

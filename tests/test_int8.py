@@ -123,3 +123,44 @@ def test_int8_training_rejected():
     with pytest.raises(ValueError, match="inference-only"):
         model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=True,
                     mutable=["batch_stats"])
+
+
+def test_calibrated_static_scales():
+    """calibrate_activation_scales bakes act_scale params for exactly
+    the int8 convs; serving on the calibration data itself is
+    bit-identical to the dynamic path (same scales by construction)."""
+    from structuredetector_tpu.models.quantize import calibrate_activation_scales
+
+    cfg = _tiny_config(int8=True)
+    m8 = build_model(cfg)
+    _, variables = init_model(_tiny_config())
+    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3)) * 2 - 1
+
+    cal = calibrate_activation_scales(m8, variables, [x])
+    p = cal["params"]
+    assert p["encoder"]["layer1_0"]["conv1"]["act_scale"].shape == ()
+    assert p["up2"]["conv"]["act_scale"].shape == ()
+    assert "act_scale" not in p["encoder"]["conv1"]  # stem stays float
+    assert "act_scale" not in p["head"]
+
+    want = m8.apply(variables, x, train=False)
+    got = m8.apply(cal, x, train=False)
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]))
+
+    # composes with prequantized int8 kernels
+    from structuredetector_tpu.models.quantize import prequantize_variables
+
+    got_pq = m8.apply(prequantize_variables(cal), x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(got_pq["anchor_hm"]), np.asarray(want["anchor_hm"]))
+
+
+def test_calibration_requires_batches():
+    from structuredetector_tpu.models.quantize import calibrate_activation_scales
+
+    cfg = _tiny_config(int8=True)
+    m8 = build_model(cfg)
+    _, variables = init_model(_tiny_config())
+    with pytest.raises(ValueError, match="at least one batch"):
+        calibrate_activation_scales(m8, variables, [])
