@@ -1,0 +1,191 @@
+"""Inference server with dynamic micro-batching.
+
+TPU serving wants batches (the chip hits ~4x its batch-1 throughput at
+batch 128), but HTTP clients send one image at a time. `MicroBatcher`
+closes the gap: requests queue up, a worker drains up to `max_batch` of
+them (waiting at most `window_ms` after the first arrival), and one
+jitted forward+decode serves the whole group. Batches pad to the next
+power of two so only log2(max_batch)+1 graph shapes ever compile.
+
+The HTTP layer is stdlib (`ThreadingHTTPServer`) — one POST per image,
+JSON annotation back, in the reference's public schema
+(`/root/reference/README.md:40-69`). No counterpart exists in the
+reference (its serving story is a CoreML artifact handed to an app);
+this is TPU-native deployment surface.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
+
+from PIL import Image
+
+__all__ = ["MicroBatcher", "make_server", "run_server"]
+
+_SHUTDOWN = object()
+
+
+def _pad_pow2(n: int, cap: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return min(p, cap)
+
+
+class MicroBatcher:
+    """Groups concurrent single-image requests into device batches.
+
+    `predict_batch` is `Predictor.predict_batch` (or any callable from a
+    list of PIL images to a list of annotations). Thread-safe `submit`;
+    one worker thread owns the device.
+    """
+
+    def __init__(self, predict_batch, max_batch: int = 8,
+                 window_ms: float = 5.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._predict = predict_batch
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+        # observability: how many device calls served how many images
+        self.batches_run = 0
+        self.images_run = 0
+
+    def submit(self, image: Image.Image):
+        """Blocks until the batcher has a result; returns the annotation
+        (or raises what the model raised)."""
+        done = threading.Event()
+        slot: dict = {}
+        self._queue.put((image, done, slot))
+        done.wait()
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def close(self):
+        self._queue.put(_SHUTDOWN)
+        self._worker.join(timeout=5)
+
+    def _loop(self):
+        while True:
+            first = self._queue.get()
+            if first is _SHUTDOWN:
+                return
+            items = [first]
+            deadline = time.monotonic() + self.window_s
+            while len(items) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _SHUTDOWN:
+                    self._run(items)
+                    return
+                items.append(nxt)
+            self._run(items)
+
+    def _run(self, items):
+        images = [im for im, _, _ in items]
+        # pad with a copy of the last image to a power-of-two batch so
+        # the jit cache stays small; padded results are dropped
+        target = _pad_pow2(len(images), self.max_batch)
+        padded = images + [images[-1]] * (target - len(images))
+        try:
+            results = self._predict(padded)[: len(images)]
+        except Exception as e:  # surface the failure to every waiter
+            for _, done, slot in items:
+                slot["error"] = e
+                done.set()
+            return
+        self.batches_run += 1
+        self.images_run += len(images)
+        for (_, done, slot), result in zip(items, results):
+            slot["result"] = result
+            done.set()
+
+
+def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
+                max_batch: int = 8, window_ms: float = 5.0):
+    """(ThreadingHTTPServer, MicroBatcher) serving the predictor.
+
+    Routes:
+      POST /detect  — raw JPEG/PNG bytes in the body -> annotation JSON
+                      (reference schema) in original image coordinates
+      GET  /healthz — liveness + batching counters
+    """
+    batcher = MicroBatcher(predictor.predict_batch, max_batch=max_batch,
+                           window_ms=window_ms)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _reply(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "status": "ok",
+                    "batches_run": batcher.batches_run,
+                    "images_run": batcher.images_run,
+                })
+            else:
+                self._reply(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path != "/detect":
+                self._reply(404, {"error": f"no route {self.path}"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(length)
+                image = Image.open(io.BytesIO(data))
+                if image.mode != "RGB":
+                    image = image.convert("RGB")
+            except Exception as e:
+                self._reply(400, {"error": f"bad image payload: {e}"})
+                return
+            try:
+                annotation = batcher.submit(image)
+            except Exception as e:
+                self._reply(500, {"error": str(e)})
+                return
+            from pathlib import Path
+
+            annotation.image_path = Path("upload")  # no server-local paths
+            self._reply(200, annotation.json_repr())
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    return server, batcher
+
+
+def run_server(predictor, host: str = "127.0.0.1", port: int = 8000,
+               max_batch: int = 8, window_ms: float = 5.0,
+               ready: Optional[threading.Event] = None):
+    """Serve until interrupted; `ready` is set once the socket listens."""
+    server, batcher = make_server(predictor, host, port, max_batch, window_ms)
+    if ready is not None:
+        ready.set()
+    try:
+        server.serve_forever()
+    finally:
+        batcher.close()
+        server.server_close()

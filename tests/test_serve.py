@@ -1,0 +1,130 @@
+"""Serving layer (serve.py): micro-batching semantics with a fake
+model, and the HTTP round-trip with a real Predictor."""
+
+import io
+import json
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from structuredetector_tpu.serve import MicroBatcher, make_server
+
+
+class FakePredict:
+    """Stands in for Predictor.predict_batch; records batch sizes."""
+
+    def __init__(self, delay_s=0.0, fail=False):
+        self.calls = []
+        self.delay_s = delay_s
+        self.fail = fail
+
+    def __call__(self, images):
+        self.calls.append(len(images))
+        if self.fail:
+            raise RuntimeError("model exploded")
+        time.sleep(self.delay_s)
+        return [f"ann-{id(im)}" for im in images]
+
+
+def test_microbatcher_single():
+    fake = FakePredict()
+    b = MicroBatcher(fake, max_batch=4, window_ms=1.0)
+    img = Image.new("RGB", (8, 8))
+    assert b.submit(img) == f"ann-{id(img)}"
+    assert b.batches_run == 1 and b.images_run == 1
+    b.close()
+
+
+def test_microbatcher_groups_concurrent_requests():
+    fake = FakePredict(delay_s=0.01)
+    b = MicroBatcher(fake, max_batch=8, window_ms=100.0)
+    images = [Image.new("RGB", (8, 8)) for _ in range(6)]
+    results = [None] * 6
+
+    def work(i):
+        results[i] = b.submit(images[i])
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert results == [f"ann-{id(im)}" for im in images]  # order preserved
+    assert b.images_run == 6
+    assert b.batches_run < 6, "requests were not batched"
+    # padding goes to powers of two, capped at max_batch
+    assert all(n in (1, 2, 4, 8) for n in fake.calls)
+    b.close()
+
+
+def test_microbatcher_propagates_model_errors():
+    b = MicroBatcher(FakePredict(fail=True), max_batch=2, window_ms=1.0)
+    with pytest.raises(RuntimeError, match="model exploded"):
+        b.submit(Image.new("RGB", (8, 8)))
+    b.close()
+
+
+def test_microbatcher_rejects_bad_config():
+    with pytest.raises(ValueError):
+        MicroBatcher(FakePredict(), max_batch=0)
+
+
+@pytest.mark.slow  # compiles the full model
+def test_http_server_end_to_end():
+    from structuredetector_tpu.config import Config
+    from structuredetector_tpu.predictor import Predictor
+
+    cfg = Config(width=64, height=64, max_objects=4, max_parts=8, fpn_depth=32,
+                 use_amp=False)
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    cfg.anchor_name = "stem"
+    predictor = Predictor(cfg)
+
+    server, batcher = make_server(predictor, "127.0.0.1", 0, max_batch=2,
+                                  window_ms=2.0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+
+        rng = np.random.default_rng(0)
+        buf = io.BytesIO()
+        Image.fromarray(rng.integers(0, 255, (48, 80, 3), np.uint8)).save(
+            buf, format="JPEG"
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            ann = json.loads(r.read())
+        assert ann["img_size"] == [80, 48]  # original size, not network size
+        assert isinstance(ann["objects"], list)
+
+        # bad payload -> 400, unknown route -> 404
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=b"not an image",
+            method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/nope", timeout=30
+            )
+        assert e.value.code == 404
+    finally:
+        server.shutdown()
+        thread.join(timeout=5)
+        batcher.close()
+        server.server_close()
