@@ -18,7 +18,12 @@ import jax.numpy as jnp
 from ..ops.device_augment import device_augment
 from ..ops.encode import encode_targets
 from ..ops.losses import sdnet_loss
-from ..parallel.mesh import batch_sharding, param_shardings, replicated_sharding
+from ..parallel.mesh import (
+    batch_sharding,
+    param_shardings,
+    replicated_sharding,
+    spatial_sharding,
+)
 from .state import TrainState
 
 
@@ -35,14 +40,20 @@ def _encode_batch(kp, config, out_h: int, out_w: int):
 def make_train_step(
     model, config, optimizer, *, out_h: int, out_w: int,
     mesh=None, state_example: Optional[TrainState] = None, donate: bool = True,
-    augment: bool = False,
+    augment: bool = False, spatial: bool = False,
 ) -> Callable:
     """Build `step(state, images, kp_dict) -> (state, stats)` jitted for
     one static resolution bucket.
 
     With `mesh`, in/out shardings are attached (batch over "data",
     variables per `parallel.mesh.param_shardings`); `state_example` (a
-    concrete or abstract TrainState) supplies the pytree structure."""
+    concrete or abstract TrainState) supplies the pytree structure.
+
+    `spatial=True` additionally shards image *rows* over the "model"
+    axis (spatial partitioning) — high-resolution training whose
+    activations exceed one chip's HBM. GSPMD inserts the conv halo
+    exchanges and turns the BatchNorm batch-statistics reductions into
+    cross-device collectives, so numerics keep global-batch semantics."""
 
     multi_device = mesh is not None and mesh.size > 1
 
@@ -52,7 +63,8 @@ def make_train_step(
             # instead of in_shardings: constraining uncommitted host
             # inputs via in_shardings forces a host round-trip per call.
             bsh_in = batch_sharding(mesh)
-            images = jax.lax.with_sharding_constraint(images, bsh_in)
+            img_sh = spatial_sharding(mesh) if spatial else bsh_in
+            images = jax.lax.with_sharding_constraint(images, img_sh)
             kp = {k: jax.lax.with_sharding_constraint(v, bsh_in) for k, v in kp.items()}
         if augment:
             # Augment in the compute dtype: inputs are uint8-derived, so

@@ -179,3 +179,31 @@ def test_spatial_single_image_over_all_devices():
     np.testing.assert_allclose(
         np.asarray(plain["anchor_hm"]), np.asarray(sharded["anchor_hm"]), atol=1e-5
     )
+
+
+def test_spatial_train_step_matches():
+    """(2 data x 4 spatial) train step — rows sharded over "model" —
+    reproduces single-device numerics: GSPMD turns the BN statistics
+    and gradient reductions into collectives with global semantics."""
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    opt = make_optimizer(cfg, 10)
+    state = create_train_state(cfg, variables, opt)
+    images, kp = _batch(cfg, 4)
+
+    plain = make_train_step(model, cfg, opt, out_h=8, out_w=8, donate=False)
+    s1, stats1 = plain(state, images, kp)
+
+    mesh = create_mesh(2, 4)
+    sharded = make_train_step(model, cfg, opt, out_h=8, out_w=8, mesh=mesh,
+                              state_example=state, donate=False, spatial=True)
+    s2, stats2 = sharded(state, images, kp)
+
+    assert float(stats1["total_loss"]) == pytest.approx(
+        float(stats2["total_loss"]), rel=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.params["head"]["bias"]),
+        np.asarray(s2.params["head"]["bias"]),
+        atol=1e-6,
+    )
