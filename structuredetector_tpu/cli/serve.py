@@ -22,18 +22,28 @@ def main(argv=None):
     p.add_argument("--batch_window_ms", type=float, default=5.0,
                    help="How long to wait for more requests after the "
                         "first of a batch arrives.")
+    p.add_argument("--artifact", type=str, default=None,
+                   help="Serve an exported .sdz artifact instead of a "
+                        "checkpoint (no other model flags needed; decode "
+                        "parameters come from the embedded metadata).")
     args, rest = p.parse_known_args(argv)
 
-    from ..config import config_from_args
-    from ..predictor import Predictor
     from ..serve import run_server
 
-    config = config_from_args(rest)
-    assert config.pretrained_model, (
-        "No model to serve. Use the option '--load_model <model_path>'."
-    )
+    if args.artifact:
+        from ..predictor import ExportPredictor
 
-    predictor = Predictor(config)
+        predictor = ExportPredictor(args.artifact)
+    else:
+        from ..config import config_from_args
+        from ..predictor import Predictor
+
+        config = config_from_args(rest)
+        assert config.pretrained_model, (
+            "No model to serve. Use '--load_model <model_path>' "
+            "or '--artifact <model.sdz>'."
+        )
+        predictor = Predictor(config)
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, window={args.batch_window_ms} ms) "
           f"POST /detect, GET /healthz")

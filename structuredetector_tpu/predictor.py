@@ -176,3 +176,88 @@ class Predictor:
         kept = merge_tiled_objects(objects, radius)
         path = getattr(image, "filename", "") or "tiled"
         return ImageAnnotation(path, objects=kept, img_size=image.size)
+
+
+class ExportPredictor:
+    """`Predictor` surface backed by a serialized `.sdz` artifact
+    (`export.load_exported`) — the deployment unit: no model code or
+    checkpoint needed, decode parameters come from the embedded
+    metadata. Plugs into `serve`'s MicroBatcher like `Predictor`.
+
+    Static-batch artifacts are padded/chunked internally to their baked
+    batch size; dynamic-batch artifacts take any batch."""
+
+    def __init__(self, artifact: Union[str, Path], **config_overrides):
+        """`config_overrides` adjusts decode parameters the metadata
+        doesn't carry (max_objects, conf_threshold, ... — the artifact
+        embeds the labels/size/stride, like the reference's CoreML
+        metadata, cli/convert_coreml.py:125-133)."""
+        from .config import Config
+        from .data.decoders import ExportDecoder
+        from .export import load_exported
+
+        self._call, meta = load_exported(Path(artifact).expanduser().resolve())
+        config = Config(
+            width=meta["width"], height=meta["height"],
+            down_ratio=float(meta["scale_factor"]),
+            anchor_name=meta.get("anchor_name", "anchor"),
+            **config_overrides,
+        ).set_labels(meta["anchors"], meta["parts"])
+        config.validate()
+        self.config = config
+        self.meta = meta
+        self.decoder = ExportDecoder(config)
+        self.batch_size = (
+            None if meta.get("dynamic_batch") else int(meta.get("batch_size", 1))
+        )
+        self._uint8 = meta.get("input_dtype") == "uint8"
+        self._normalized = bool(meta.get("normalized"))
+        if not self._normalized:
+            from .data.augment import Normalize
+
+            self._host_normalize = Normalize()
+
+    def _transform(self, image: Image.Image) -> np.ndarray:
+        resized = image.resize(
+            (self.config.width, self.config.height), Image.BILINEAR
+        )
+        if self._uint8:
+            return np.asarray(resized, np.uint8)
+        if self._normalized:
+            # the graph owns /255 + mean/std; feed raw [0, 255] floats
+            return np.asarray(resized, np.float32)
+        return self._host_normalize(resized)
+
+    def predict_image(self, image: Union[Image.Image, str, Path]) -> ImageAnnotation:
+        return self.predict_batch([image])[0]
+
+    def predict_batch(
+        self, images: Sequence[Union[Image.Image, str, Path]]
+    ) -> List[ImageAnnotation]:
+        from .ops.decode import split_head_output
+
+        pils = []
+        for im in images:
+            if not isinstance(im, Image.Image):
+                im = Image.open(im)
+            if im.mode != "RGB":
+                im = im.convert("RGB")
+            pils.append(im)
+
+        arrs = [self._transform(im) for im in pils]
+        step = self.batch_size or len(arrs)
+        annotations: List[ImageAnnotation] = []
+        for start in range(0, len(arrs), step):
+            chunk = arrs[start : start + step]
+            n = len(chunk)
+            chunk = chunk + [chunk[-1]] * (step - n)  # pad static batches
+            raw = self._call(jnp.asarray(np.stack(chunk)))
+            outputs = split_head_output(raw, self.config.n_labels, self.config.n_parts)
+            annotations.extend(self.decoder(outputs)[:n])
+
+        for ann, im in zip(annotations, pils):
+            ann.resize((self.config.width, self.config.height), im.size)
+            ann.img_size = im.size
+            if hasattr(im, "filename") and im.filename:
+                ann.image_path = Path(im.filename)
+        return annotations

@@ -136,3 +136,37 @@ def test_export_int8_roundtrip(tmp_path):
                         cfg.n_labels, cfg.n_parts)
     want = np.asarray(fn(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_export_predictor_matches_live_predictor(tmp_path):
+    """ExportPredictor (artifact-backed) reproduces the live Predictor's
+    detections: same feed, sigmoid+NMS fused in-graph vs applied live."""
+    from structuredetector_tpu.predictor import ExportPredictor, Predictor
+
+    cfg = make_config()
+    cfg.anchor_name = "stem"
+    _, variables = init_model(cfg)
+    path = export_model(cfg, variables, tmp_path / "m.sdz", batch_size=2)
+
+    ep = ExportPredictor(path, max_objects=cfg.max_objects,
+                         max_parts=cfg.max_parts)
+    assert ep.batch_size == 2
+
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    imgs = [Image.fromarray(rng.integers(0, 255, (40, 56, 3), np.uint8))
+            for _ in range(3)]  # 3 images -> chunked 2 + padded 1
+
+    live = Predictor(cfg, device_normalize=False)
+    live.variables = variables
+    want = live.predict_batch(imgs)
+    got = ep.predict_batch(imgs)
+
+    assert len(got) == 3
+    for w, g in zip(want, got):
+        assert g.img_size == (56, 40)
+        assert len(g.objects) == len(w.objects)
+        for ow, og in zip(w.objects, g.objects):
+            assert ow.name == og.name
+            assert og.anchor.x == pytest.approx(ow.anchor.x, abs=1e-3)
+            assert og.anchor.y == pytest.approx(ow.anchor.y, abs=1e-3)
