@@ -26,6 +26,10 @@ def main(argv=None):
                    help="Serve an exported .sdz artifact instead of a "
                         "checkpoint (no other model flags needed; decode "
                         "parameters come from the embedded metadata).")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="Skip pre-compiling the power-of-two batch shapes "
+                        "at startup (first request per shape then pays "
+                        "the compile).")
     args, rest = p.parse_known_args(argv)
 
     from ..serve import run_server
@@ -44,6 +48,20 @@ def main(argv=None):
             "or '--artifact <model.sdz>'."
         )
         predictor = Predictor(config)
+
+    if not args.no_warmup:
+        # compile every batch shape the micro-batcher can produce now,
+        # not on the first unlucky request (~seconds per shape on TPU)
+        from PIL import Image
+
+        w, h = predictor.config.width, predictor.config.height
+        dummy = Image.new("RGB", (w, h))
+        b = 1
+        while b <= args.max_batch:
+            print(f"warmup: batch {b}")
+            predictor.predict_batch([dummy] * b)
+            b *= 2
+
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, window={args.batch_window_ms} ms) "
           f"POST /detect, GET /healthz")
