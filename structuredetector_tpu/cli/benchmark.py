@@ -62,6 +62,10 @@ def main(argv=None):
     p.add_argument("--int8", action="store_true",
                    help="Int8 inference convs (models/quantize.py); skips "
                         "the train-step section (int8 is inference-only).")
+    p.add_argument("--int8_static", action="store_true",
+                   help="Int8 with static activation scales (calibrated on "
+                        "the benchmark batch) — no per-call amax pass; "
+                        "implies --int8.")
     p.add_argument("--json", action="store_true", dest="as_json")
     args = p.parse_args(argv)
 
@@ -72,6 +76,7 @@ def main(argv=None):
     from ..train.state import create_train_state, make_optimizer
     from ..train.steps import make_train_step
 
+    args.int8 = args.int8 or args.int8_static
     cfg = Config(width=args.width, height=args.height, use_amp=not args.fp32,
                  int8=args.int8)
     cfg.set_labels(["bean", "maize"], ["leaf"])
@@ -80,8 +85,12 @@ def main(argv=None):
 
     model, variables = init_model(cfg)
     if args.int8:
-        from ..models.quantize import prequantize_variables
+        from ..models.quantize import (calibrate_activation_scales,
+                                       prequantize_variables)
 
+        if args.int8_static:
+            warm = jnp.zeros((b, cfg.height, cfg.width, 3), jnp.float32)
+            variables = calibrate_activation_scales(model, variables, [warm])
         variables = prequantize_variables(variables)
     images = jnp.zeros((b, cfg.height, cfg.width, 3), jnp.float32)
     on_tpu = jax.default_backend() == "tpu"

@@ -63,10 +63,14 @@ def _calibrated_variables(config, variables, cal_dir: Path, max_images: int):
     from ..models.quantize import calibrate_activation_scales
 
     paths = sorted(
-        files_with_extension(cal_dir, ".jpg") + files_with_extension(cal_dir, ".png")
+        p
+        for ext in (".jpg", ".jpeg", ".png")
+        for p in files_with_extension(cal_dir, ext)
     )[:max_images]
     if not paths:
-        raise SystemExit(f"--calibrate_dir {cal_dir}: no .jpg/.png images found")
+        raise SystemExit(
+            f"--calibrate_dir {cal_dir}: no .jpg/.jpeg/.png images found"
+        )
 
     from PIL import Image
 

@@ -76,18 +76,18 @@ def _main_tiled(config):
     out_dir.mkdir(exist_ok=True)
 
     paths = sorted(
-        files_with_extension(config.valid_dir, ".jpg")
-        + files_with_extension(config.valid_dir, ".png")
+        p
+        for ext in (".jpg", ".jpeg", ".png")  # = PredictionDataset's set
+        for p in files_with_extension(config.valid_dir, ext)
     )
     for image_path in tqdm(paths, desc="Prediction", unit="image"):
-        annotation = predictor.predict_tiled(
-            image_path, overlap=config.tile_overlap
-        )
-        annotation.image_path = Path(image_path)
-
+        # open once: the decoded raster feeds both tiling and overlay
+        # (orthomosaic-scale inputs are expensive to decode twice)
         image = Image.open(image_path)
         if image.mode != "RGB":
             image = image.convert("RGB")
+        annotation = predictor.predict_tiled(image, overlap=config.tile_overlap)
+        annotation.image_path = Path(image_path)
         overlay = draw(image, annotation, config)
 
         annotation.save_json(out_dir)

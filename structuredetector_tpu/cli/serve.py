@@ -35,6 +35,11 @@ def main(argv=None):
     from ..serve import run_server
 
     if args.artifact:
+        if rest:
+            raise SystemExit(
+                f"unrecognized arguments with --artifact: {' '.join(rest)} "
+                "(model/decode flags come from the artifact metadata)"
+            )
         from ..predictor import ExportPredictor
 
         predictor = ExportPredictor(args.artifact)
@@ -56,11 +61,16 @@ def main(argv=None):
 
         w, h = predictor.config.width, predictor.config.height
         dummy = Image.new("RGB", (w, h))
+        sizes = []
         b = 1
-        while b <= args.max_batch:
+        while b < args.max_batch:
+            sizes.append(b)
+            b *= 2
+        sizes.append(args.max_batch)  # _pad_pow2 caps here — a shape of
+        # its own when max_batch isn't a power of two
+        for b in sizes:
             print(f"warmup: batch {b}")
             predictor.predict_batch([dummy] * b)
-            b *= 2
 
     print(f"serving on http://{args.host}:{args.port} "
           f"(max_batch={args.max_batch}, window={args.batch_window_ms} ms) "

@@ -191,10 +191,29 @@ def calibrate_activation_scales(model, variables: Mapping, batches) -> dict:
 
     `batches` is an iterable of (B, H, W, C) image arrays, already
     normalized exactly as at serving time. Calibrating and serving on
-    the same inputs is bit-identical to the dynamic path."""
+    the same inputs is bit-identical to the dynamic path. Re-calibrating
+    an already-calibrated tree works: existing act_scale params are
+    stripped first so every conv records fresh ranges."""
+
+    def strip(tree):
+        return {
+            k: strip(v) if isinstance(v, Mapping) else v
+            for k, v in tree.items()
+            if k != "act_scale"
+        }
+
+    variables = dict(variables)
+    variables["params"] = strip(variables["params"])
+
     amax = None
     for x in batches:
         _, mut = model.apply(variables, x, train=False, mutable=["calibration"])
+        if "calibration" not in mut:
+            # nothing sowed: the model has no dynamically-quantized conv
+            raise ValueError(
+                "nothing to calibrate: the model has no Int8Conv running "
+                "dynamic quantization (build it with config.int8=True)"
+            )
         cal = mut["calibration"]
         amax = cal if amax is None else jax.tree.map(jnp.maximum, amax, cal)
     if amax is None:

@@ -168,6 +168,15 @@ class Predictor:
             ):
                 objects.extend(_shift_object(o, x, y) for o in ann.objects)
 
+        # an image smaller than the tile on an axis gets black crop
+        # padding; anchors detected there (or pushed out by the offset
+        # regression) can't be real objects — drop them
+        objects = [
+            o
+            for o in objects
+            if 0 <= o.anchor.x < image.width and 0 <= o.anchor.y < image.height
+        ]
+
         radius = (
             dedup_radius
             if dedup_radius is not None

@@ -54,6 +54,8 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._lock = threading.Lock()  # orders submit() vs close()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
         # observability: how many device calls served how many images
@@ -65,36 +67,64 @@ class MicroBatcher:
         (or raises what the model raised)."""
         done = threading.Event()
         slot: dict = {}
-        self._queue.put((image, done, slot))
+        with self._lock:
+            # under the lock, a non-closed batcher is guaranteed to
+            # enqueue BEFORE close() enqueues _SHUTDOWN (FIFO queue), so
+            # the worker always services this item — submit can't hang
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._queue.put((image, done, slot))
         done.wait()
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
 
     def close(self):
-        self._queue.put(_SHUTDOWN)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(_SHUTDOWN)
         self._worker.join(timeout=5)
 
     def _loop(self):
-        while True:
-            first = self._queue.get()
-            if first is _SHUTDOWN:
-                return
-            items = [first]
-            deadline = time.monotonic() + self.window_s
-            while len(items) < self.max_batch:
-                remaining = deadline - time.monotonic()
-                if remaining <= 0:
-                    break
-                try:
-                    nxt = self._queue.get(timeout=remaining)
-                except queue.Empty:
-                    break
-                if nxt is _SHUTDOWN:
-                    self._run(items)
+        try:
+            while True:
+                first = self._queue.get()
+                if first is _SHUTDOWN:
                     return
-                items.append(nxt)
-            self._run(items)
+                items = [first]
+                deadline = time.monotonic() + self.window_s
+                while len(items) < self.max_batch:
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    try:
+                        nxt = self._queue.get(timeout=remaining)
+                    except queue.Empty:
+                        break
+                    if nxt is _SHUTDOWN:
+                        self._run(items)
+                        return
+                    items.append(nxt)
+                self._run(items)
+        finally:
+            # whether via _SHUTDOWN or a worker crash, never leave a
+            # waiter blocked: mark closed and fail anything still queued.
+            # Under the lock, so no submit() can slip an item in between
+            # the closed-flag check and the drain.
+            with self._lock:
+                self._closed = True
+                while True:
+                    try:
+                        leftover = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if leftover is _SHUTDOWN:
+                        continue
+                    _, done, slot = leftover
+                    slot["error"] = RuntimeError("batcher shut down")
+                    done.set()
 
     def _run(self, items):
         images = [im for im, _, _ in items]
@@ -158,6 +188,9 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 length = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(length)
                 image = Image.open(io.BytesIO(data))
+                image.load()  # force the decode NOW: Image.open is lazy,
+                # and a truncated payload must 400 here, not explode
+                # inside a shared micro-batch and 500 innocent requests
                 if image.mode != "RGB":
                     image = image.convert("RGB")
             except Exception as e:

@@ -74,6 +74,14 @@ def test_microbatcher_rejects_bad_config():
         MicroBatcher(FakePredict(), max_batch=0)
 
 
+def test_microbatcher_submit_after_close_raises():
+    b = MicroBatcher(FakePredict(), max_batch=2, window_ms=1.0)
+    b.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        b.submit(Image.new("RGB", (8, 8)))
+    b.close()  # idempotent
+
+
 @pytest.mark.slow  # compiles the full model
 def test_http_server_end_to_end():
     from structuredetector_tpu.config import Config

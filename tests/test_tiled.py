@@ -86,10 +86,10 @@ def test_predict_tiled_end_to_end():
     ann = pred.predict_tiled(img, overlap=0.25, batch_size=4)
     assert isinstance(ann, ImageAnnotation)
     assert ann.img_size == (200, 150)
-    # a randomly-initialized model regresses arbitrary sub-pixel offsets
-    # (trained models keep them in [0,1)), so allow one tile of slack
+    # anchors landing outside the image (crop padding, or pushed out by
+    # a random-init model's unbounded offset regression) are dropped
     for o in ann.objects:
-        assert -64 <= o.x <= 200 + 64 and -64 <= o.y <= 150 + 64
+        assert 0 <= o.x < 200 and 0 <= o.y < 150
     # dedup radius must leave no same-label pair closer than the radius
     r = cfg.dist_threshold * 64
     pts = [(o.name, o.x, o.y) for o in ann.objects]
