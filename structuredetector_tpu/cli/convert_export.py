@@ -57,31 +57,21 @@ def _calibrated_variables(config, variables, cal_dir: Path, max_images: int):
     them, then record per-conv amax (models/quantize.py)."""
     import numpy as np
 
-    from ..annotations import files_with_extension
     from ..data.augment import PredictionTransformation
+    from ..data.dataset import PredictionDataset
     from ..models.network import build_model
     from ..models.quantize import calibrate_activation_scales
 
-    paths = sorted(
-        p
-        for ext in (".jpg", ".jpeg", ".png")
-        for p in files_with_extension(cal_dir, ext)
-    )[:max_images]
-    if not paths:
+    dataset = PredictionDataset(
+        cal_dir, PredictionTransformation(config, device_normalize=False)
+    )
+    if len(dataset) == 0:
         raise SystemExit(
             f"--calibrate_dir {cal_dir}: no .jpg/.jpeg/.png images found"
         )
-
-    from PIL import Image
-
-    transform = PredictionTransformation(config, device_normalize=False)
-    imgs = []
-    for p in paths:
-        im = Image.open(p)
-        if im.mode != "RGB":
-            im = im.convert("RGB")
-        imgs.append(transform(im))
-    batch = np.stack(imgs)
+    batch = np.stack(
+        [dataset[i]["img"] for i in range(min(len(dataset), max_images))]
+    )
 
     return calibrate_activation_scales(build_model(config), variables, [batch])
 

@@ -68,24 +68,19 @@ def _main_tiled(config):
     """--tiled: native-resolution sliding-window detection. Images keep
     full detail (no downscale); cross-tile duplicates merge by anchor
     score (Predictor.predict_tiled)."""
-    from ..annotations import files_with_extension
     from ..predictor import Predictor
 
     predictor = Predictor(config)
     out_dir = Path("predictions")
     out_dir.mkdir(exist_ok=True)
 
-    paths = sorted(
-        p
-        for ext in (".jpg", ".jpeg", ".png")  # = PredictionDataset's set
-        for p in files_with_extension(config.valid_dir, ext)
-    )
-    for image_path in tqdm(paths, desc="Prediction", unit="image"):
-        # open once: the decoded raster feeds both tiling and overlay
-        # (orthomosaic-scale inputs are expensive to decode twice)
-        image = Image.open(image_path)
-        if image.mode != "RGB":
-            image = image.convert("RGB")
+    # transform=None: PredictionDataset hands back the opened RGB PIL
+    # image, decoded once — it feeds both tiling and the overlay
+    # (orthomosaic-scale inputs are expensive to decode twice)
+    dataset = PredictionDataset(config.valid_dir)
+    for i in tqdm(range(len(dataset)), desc="Prediction", unit="image"):
+        sample = dataset[i]
+        image, image_path = sample["img"], sample["path"]
         annotation = predictor.predict_tiled(image, overlap=config.tile_overlap)
         annotation.image_path = Path(image_path)
         overlay = draw(image, annotation, config)

@@ -15,11 +15,10 @@ from pathlib import Path
 import jax.numpy as jnp
 from tqdm import tqdm
 
-from ..config import Config
 from ..data import (CropDataset, ExportDecoder, ExportTransforms, Loader,
                     ValidationAugmentation)
 from ..evaluation import Evaluator
-from ..export import load_exported
+from ..export import config_from_metadata, load_exported
 from ..ops.decode import split_head_output
 
 
@@ -43,18 +42,15 @@ def main(argv=None):
     args = parse_args(argv)
     call, meta = load_exported(Path(args.model).expanduser().resolve())
 
-    config = Config(
-        width=meta["width"], height=meta["height"],
-        down_ratio=float(meta["scale_factor"]),
-        anchor_name=meta.get("anchor_name", args.anchor_name),
+    config = config_from_metadata(
+        meta, anchor_name=args.anchor_name,
         max_objects=args.max_objects, max_parts=args.max_parts,
         sigma_gauss=args.sigma_gauss, conf_threshold=args.conf_threshold,
         dist_threshold=args.dist_threshold,
         decoder_dist_thresh=args.decoder_dist_thresh,
         csi_threshold=args.csi_threshold, num_workers=args.num_workers,
         valid_dir=Path(args.valid_dir).expanduser().resolve(),
-    ).set_labels(meta["anchors"], meta["parts"])
-    config.validate()
+    )
 
     evaluator = Evaluator(config)
     decoder = ExportDecoder(config)

@@ -56,6 +56,26 @@ def make_export_fn(model, variables, n_labels: int, n_parts: int,
     return fn
 
 
+def config_from_metadata(meta, **overrides):
+    """Config reconstructed from an artifact's embedded metadata
+    (the single consumer-side builder — `evaluate_export` and
+    `ExportPredictor` both use it so they can't drift). `overrides`
+    fills parameters the metadata doesn't carry (max_objects,
+    thresholds, ...); an `anchor_name` override is a fallback only —
+    the metadata's value wins."""
+    from .config import Config
+
+    fallback_anchor = overrides.pop("anchor_name", "anchor")
+    config = Config(
+        width=meta["width"], height=meta["height"],
+        down_ratio=float(meta["scale_factor"]),
+        anchor_name=meta.get("anchor_name", fallback_anchor),
+        **overrides,
+    ).set_labels(meta["anchors"], meta["parts"])
+    config.validate()
+    return config
+
+
 def export_model(config, variables, path, batch_size: int = 1,
                  fold_normalization: bool = False,
                  dynamic_batch: bool = False,

@@ -49,19 +49,29 @@ def tile_grid(
 def merge_tiled_objects(objects: Sequence[Object], radius: float) -> List[Object]:
     """Cross-tile deduplication: greedy pass over objects sorted by
     anchor score (desc); an object is dropped if a kept object of the
-    same label has its anchor within `radius` pixels. Mirrors the
-    evaluator's greedy anchor-matching semantics so the highest-scored
-    detection of each physical object survives."""
+    same label has its anchor within `radius` pixels, so the
+    highest-scored detection of each physical object survives.
+
+    Near-linear: kept anchors index into a `radius`-sized spatial grid,
+    so each candidate only checks the 3x3 neighboring cells — an
+    orthomosaic with tens of thousands of detections merges in host
+    milliseconds instead of O(n^2) pair scans."""
+    cell = max(radius, 1e-6)
+    grid: dict = {}  # (cx, cy) -> list of kept Objects
     kept: List[Object] = []
     for obj in sorted(objects, key=lambda o: -(o.anchor.score or 0.0)):
+        cx, cy = int(obj.anchor.x // cell), int(obj.anchor.y // cell)
         dup = any(
             k.name == obj.name
             and math.hypot(k.anchor.x - obj.anchor.x, k.anchor.y - obj.anchor.y)
             < radius
-            for k in kept
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for k in grid.get((cx + dx, cy + dy), ())
         )
         if not dup:
             kept.append(obj)
+            grid.setdefault((cx, cy), []).append(obj)
     return kept
 
 
@@ -108,6 +118,8 @@ class Predictor:
     def predict_batch(
         self, images: Sequence[Union[Image.Image, str, Path]]
     ) -> List[ImageAnnotation]:
+        if not images:
+            return []
         pils = []
         for im in images:
             if not isinstance(im, Image.Image):
@@ -141,8 +153,12 @@ class Predictor:
         full detail is preserved), shift detections into global pixel
         coordinates, and greedily merge cross-tile duplicates
         (`merge_tiled_objects` — higher anchor score wins within
-        `dedup_radius`, default `dist_threshold * min(tile size)` to
-        match the evaluator's matching radius).
+        `dedup_radius`). The default radius, `dist_threshold *
+        min(tile size)`, is the scale at which one physical object
+        shows up twice across overlapping tiles; it deliberately does
+        NOT track the evaluator's image-size-relative radius, which
+        would merge distinct neighboring objects on orthomosaic-scale
+        inputs.
 
         Tile batches are padded to a fixed `batch_size`, so exactly one
         compiled graph serves any image size."""
@@ -201,19 +217,11 @@ class ExportPredictor:
         doesn't carry (max_objects, conf_threshold, ... — the artifact
         embeds the labels/size/stride, like the reference's CoreML
         metadata, cli/convert_coreml.py:125-133)."""
-        from .config import Config
         from .data.decoders import ExportDecoder
-        from .export import load_exported
+        from .export import config_from_metadata, load_exported
 
         self._call, meta = load_exported(Path(artifact).expanduser().resolve())
-        config = Config(
-            width=meta["width"], height=meta["height"],
-            down_ratio=float(meta["scale_factor"]),
-            anchor_name=meta.get("anchor_name", "anchor"),
-            **config_overrides,
-        ).set_labels(meta["anchors"], meta["parts"])
-        config.validate()
-        self.config = config
+        self.config = config = config_from_metadata(meta, **config_overrides)
         self.meta = meta
         self.decoder = ExportDecoder(config)
         self.batch_size = (
@@ -245,6 +253,8 @@ class ExportPredictor:
     ) -> List[ImageAnnotation]:
         from .ops.decode import split_head_output
 
+        if not images:
+            return []
         pils = []
         for im in images:
             if not isinstance(im, Image.Image):

@@ -134,16 +134,27 @@ class MicroBatcher:
         padded = images + [images[-1]] * (target - len(images))
         try:
             results = self._predict(padded)[: len(images)]
-        except Exception as e:  # surface the failure to every waiter
-            for _, done, slot in items:
-                slot["error"] = e
+            if len(results) < len(images):
+                raise RuntimeError(
+                    f"predict_batch returned {len(results)} results "
+                    f"for {len(images)} images"
+                )
+            self.batches_run += 1
+            self.images_run += len(images)
+            for (_, done, slot), result in zip(items, results):
+                slot["result"] = result
                 done.set()
-            return
-        self.batches_run += 1
-        self.images_run += len(images)
-        for (_, done, slot), result in zip(items, results):
-            slot["result"] = result
-            done.set()
+        except BaseException as e:
+            # surface the failure to every still-unserved waiter of THIS
+            # batch — these items left the queue, so the shutdown drain
+            # can't rescue them
+            err = e if isinstance(e, Exception) else RuntimeError(repr(e))
+            for _, done, slot in items:
+                if not done.is_set():
+                    slot["error"] = err
+                    done.set()
+            if not isinstance(e, Exception):
+                raise  # KeyboardInterrupt/SystemExit still terminate
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
@@ -201,10 +212,11 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
             except Exception as e:
                 self._reply(500, {"error": str(e)})
                 return
-            from pathlib import Path
-
-            annotation.image_path = Path("upload")  # no server-local paths
-            self._reply(200, annotation.json_repr())
+            payload = annotation.json_repr()
+            # overwrite AFTER serialization: json_repr resolves the
+            # path against the cwd, which must not reach clients
+            payload["image_path"] = "upload"
+            self._reply(200, payload)
 
     server = ThreadingHTTPServer((host, port), Handler)
     return server, batcher
