@@ -45,7 +45,7 @@ import math
 from copy import copy
 from functools import reduce
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
