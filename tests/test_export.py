@@ -170,3 +170,35 @@ def test_export_predictor_matches_live_predictor(tmp_path):
             assert ow.name == og.name
             assert og.anchor.x == pytest.approx(ow.anchor.x, abs=1e-3)
             assert og.anchor.y == pytest.approx(ow.anchor.y, abs=1e-3)
+
+
+def test_export_all_options_combined(tmp_path):
+    """The full export option stack composes: int8 kernels + calibrated
+    static activation scales + uint8 input signature + folded
+    normalization + dynamic batch, consumed by ExportPredictor."""
+    from structuredetector_tpu.models.quantize import (
+        calibrate_activation_scales,
+    )
+    from structuredetector_tpu.predictor import ExportPredictor
+
+    cfg = make_config()
+    cfg.int8 = True
+    cfg.anchor_name = "stem"
+    m8 = build_model(cfg)
+    _, variables = init_model(make_config())
+    # calibrate on serving-equivalent normalized inputs
+    from structuredetector_tpu.data.augment import Normalize
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    pil = Image.fromarray(rng.integers(0, 255, (32, 32, 3), np.uint8))
+    batch = np.stack([Normalize()(pil)] * 2)
+    cal = calibrate_activation_scales(m8, variables, [batch])
+
+    path = export_model(cfg, cal, tmp_path / "all.sdz", batch_size=1,
+                        fold_normalization=True, dynamic_batch=True,
+                        uint8_input=True)
+    ep = ExportPredictor(path, max_objects=cfg.max_objects,
+                         max_parts=cfg.max_parts)
+    assert ep.batch_size is None  # dynamic
+    anns = ep.predict_batch([pil, pil, pil])  # odd batch via dynamic dim
+    assert len(anns) == 3 and anns[0].img_size == (32, 32)
