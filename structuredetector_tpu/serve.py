@@ -218,7 +218,14 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
             payload["image_path"] = "upload"
             self._reply(200, payload)
 
-    server = ThreadingHTTPServer((host, port), Handler)
+    class Server(ThreadingHTTPServer):
+        # the stdlib default accept backlog (5) RSTs concurrent clients
+        # under load — the whole point of a micro-batching server is
+        # many simultaneous requests
+        request_queue_size = 128
+        daemon_threads = True  # in-flight handlers don't block exit
+
+    server = Server((host, port), Handler)
     return server, batcher
 
 
