@@ -65,13 +65,14 @@ def _calibrated_variables(config, variables, cal_dir: Path, max_images: int):
     dataset = PredictionDataset(
         cal_dir, PredictionTransformation(config, device_normalize=False)
     )
-    if len(dataset) == 0:
+    n = min(len(dataset), max_images)
+    if n <= 0:
         raise SystemExit(
-            f"--calibrate_dir {cal_dir}: no .jpg/.jpeg/.png images found"
+            f"--calibrate_dir {cal_dir}: no calibration images "
+            f"({len(dataset)} .jpg/.jpeg/.png found, "
+            f"--calibrate_images {max_images})"
         )
-    batch = np.stack(
-        [dataset[i]["img"] for i in range(min(len(dataset), max_images))]
-    )
+    batch = np.stack([dataset[i]["img"] for i in range(n)])
 
     return calibrate_activation_scales(build_model(config), variables, [batch])
 

@@ -223,7 +223,6 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
         # under load — the whole point of a micro-batching server is
         # many simultaneous requests
         request_queue_size = 128
-        daemon_threads = True  # in-flight handlers don't block exit
 
     server = Server((host, port), Handler)
     return server, batcher
