@@ -97,3 +97,36 @@ def test_predict_tiled_end_to_end():
         for n2, x2, y2 in pts[i + 1:]:
             if n1 == n2:
                 assert np.hypot(x1 - x2, y1 - y2) >= r
+
+
+def test_merge_grid_matches_bruteforce_fuzz():
+    """The spatial-grid dedup must be decision-identical to the O(n^2)
+    greedy reference on random inputs (incl. negative coords, radius
+    edge cases)."""
+    import math
+
+    def brute(objects, radius):
+        kept = []
+        for obj in sorted(objects, key=lambda o: -(o.anchor.score or 0.0)):
+            if not any(
+                k.name == obj.name
+                and math.hypot(k.anchor.x - obj.anchor.x,
+                               k.anchor.y - obj.anchor.y) < radius
+                for k in kept
+            ):
+                kept.append(obj)
+        return kept
+
+    rng = np.random.default_rng(42)
+    for trial in range(50):
+        n = int(rng.integers(0, 60))
+        objs = [
+            _obj(rng.choice(["bean", "maize"]),
+                 float(rng.uniform(-50, 500)), float(rng.uniform(-50, 500)),
+                 float(rng.uniform(0, 1)))
+            for _ in range(n)
+        ]
+        radius = float(rng.choice([0.0, 1e-3, 7.5, 40.0, 300.0]))
+        got = merge_tiled_objects(objs, radius)
+        want = brute(objs, radius)
+        assert [id(o) for o in got] == [id(o) for o in want], (trial, radius)
