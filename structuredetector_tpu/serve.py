@@ -168,6 +168,12 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
     """
     batcher = MicroBatcher(predictor.predict_batch, max_batch=max_batch,
                            window_ms=window_ms)
+    cfg = predictor.config
+    model_info = {
+        "width": cfg.width, "height": cfg.height,
+        "anchors": list(cfg.labels.keys()), "parts": list(cfg.parts.keys()),
+        "anchor_name": cfg.anchor_name,
+    }
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
@@ -187,6 +193,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                     "status": "ok",
                     "batches_run": batcher.batches_run,
                     "images_run": batcher.images_run,
+                    "model": model_info,
                 })
             else:
                 self._reply(404, {"error": f"no route {self.path}"})

@@ -104,6 +104,8 @@ def test_http_server_end_to_end():
         ) as r:
             health = json.loads(r.read())
         assert health["status"] == "ok"
+        assert health["model"]["anchors"] == ["bean", "maize"]
+        assert health["model"]["width"] == 64
 
         rng = np.random.default_rng(0)
         buf = io.BytesIO()
