@@ -69,6 +69,14 @@ def __getattr__(name):
         from .predictor import Predictor
 
         return Predictor
+    if name == "ExportPredictor":
+        from .predictor import ExportPredictor
+
+        return ExportPredictor
+    if name == "MicroBatcher":
+        from .serve import MicroBatcher
+
+        return MicroBatcher
     if name == "Evaluator":
         from .evaluation import Evaluator
 
