@@ -89,7 +89,13 @@ def main(argv=None):
                                        prequantize_variables)
 
         if args.int8_static:
-            warm = jnp.zeros((b, cfg.height, cfg.width, 3), jnp.float32)
+            # calibrate on random data spanning the ImageNet-normalized
+            # input range ((0-mean)/std ≈ -2.12 to (1-mean)/std ≈ 2.64):
+            # an all-zeros batch would drive every act_scale to the 1/127
+            # fallback, timing a graph with unrealistically tiny scales
+            warm = jax.random.uniform(
+                jax.random.PRNGKey(0), (b, cfg.height, cfg.width, 3),
+                jnp.float32, minval=-2.12, maxval=2.64)
             variables = calibrate_activation_scales(model, variables, [warm])
         variables = prequantize_variables(variables)
     images = jnp.zeros((b, cfg.height, cfg.width, 3), jnp.float32)

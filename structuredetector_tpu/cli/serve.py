@@ -17,11 +17,19 @@ def main(argv=None):
     )
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--max_batch", type=int, default=8,
-                   help="Device batch cap; batches pad to powers of two.")
+    p.add_argument("--max_batch", type=int, default=32,
+                   help="Device batch cap; batches pad to powers of two. "
+                        "TPU v5e throughput keeps rising to ~128 (measured, "
+                        "DESIGN.md serving section) — raise this for "
+                        "throughput-bound deployments; the default balances "
+                        "warmup compiles and tail latency.")
     p.add_argument("--batch_window_ms", type=float, default=5.0,
                    help="How long to wait for more requests after the "
                         "first of a batch arrives.")
+    p.add_argument("--submit_timeout_s", type=float, default=30.0,
+                   help="Per-request cap on time waiting for the device "
+                        "(503 on expiry) so a stalled device can't wedge "
+                        "every handler thread.")
     p.add_argument("--artifact", type=str, default=None,
                    help="Serve an exported .sdz artifact instead of a "
                         "checkpoint (no other model flags needed; decode "
@@ -76,7 +84,8 @@ def main(argv=None):
           f"(max_batch={args.max_batch}, window={args.batch_window_ms} ms) "
           f"POST /detect, GET /healthz")
     run_server(predictor, args.host, args.port,
-               max_batch=args.max_batch, window_ms=args.batch_window_ms)
+               max_batch=args.max_batch, window_ms=args.batch_window_ms,
+               submit_timeout_s=args.submit_timeout_s)
 
 
 if __name__ == "__main__":

@@ -7,9 +7,11 @@ quantization:
 - weights: symmetric per-output-channel int8, scale = amax/127,
   quantized from the float checkpoint at call time (pre-quantize with
   `prequantize_variables` to hoist this out of the serving graph);
-- activations: symmetric per-tensor *dynamic* int8 — the scale is
-  computed from the live tensor, so no calibration dataset is needed
-  (the reference ships none, and this sandbox has no real data);
+- activations: symmetric per-SAMPLE *dynamic* int8 — each batch
+  element's scale comes from its own live values, so no calibration
+  dataset is needed (the reference ships none) and, crucially for
+  micro-batched serving, one high-range request cannot degrade the
+  quantization of its batchmates;
 - accumulation in int32 on the MXU, dequantized as
   `y * (x_scale * w_scale[c])` fused into the following elementwise ops.
 
@@ -99,18 +101,23 @@ class Int8Conv(nn.Module):
                 "act_scale", nn.initializers.ones, (), jnp.float32
             )
         else:
-            x_amax = _abs_max(x, axes=tuple(range(x.ndim)))
+            # per-SAMPLE amax (batch axis kept, scale broadcast): in
+            # micro-batched serving a single high-range image must not
+            # degrade int8 precision for its batchmates — each request's
+            # output depends only on its own pixels
+            x_amax = _abs_max(x, axes=tuple(range(1, x.ndim)))
             # record the observed input range when a calibration pass
             # asks for it (no-op unless "calibration" is mutable; skipped
             # at init, where every collection is mutable and the sow
             # would leave a stray collection in the variable tree)
             if not self.is_initializing():
                 self.sow(
-                    "calibration", "act_amax", x_amax,
+                    "calibration", "act_amax", jnp.max(x_amax),
                     reduce_fn=jnp.maximum,
                     init_fn=lambda: jnp.float32(0.0),
                 )
             x_scale = jnp.where(x_amax > 0, x_amax, 1.0) / 127.0
+            x_scale = x_scale.reshape((-1,) + (1,) * (x.ndim - 1))
         x_q = quantize_symmetric(x, x_scale)
 
         strides = (
@@ -191,7 +198,10 @@ def calibrate_activation_scales(model, variables: Mapping, batches) -> dict:
 
     `batches` is an iterable of (B, H, W, C) image arrays, already
     normalized exactly as at serving time. Calibrating and serving on
-    the same inputs is bit-identical to the dynamic path. Re-calibrating
+    the same single-image batch is bit-identical to the dynamic path
+    (with >1 calibration image the static scale is the max over all of
+    them, while the dynamic path scales each sample individually).
+    Re-calibrating
     an already-calibrated tree works: existing act_scale params are
     stripped first so every conv records fresh ranges."""
 

@@ -185,13 +185,22 @@ class Predictor:
                 objects.extend(_shift_object(o, x, y) for o in ann.objects)
 
         # an image smaller than the tile on an axis gets black crop
-        # padding; anchors detected there (or pushed out by the offset
-        # regression) can't be real objects — drop them
-        objects = [
-            o
-            for o in objects
-            if 0 <= o.anchor.x < image.width and 0 <= o.anchor.y < image.height
-        ]
+        # padding; anchors detected in the padding can't be real objects.
+        # Only filter on axes where padding exists (image < tile) — on a
+        # full-sized axis a regressed anchor can land fractionally outside
+        # a true border (e.g. x = -0.3) and is a real object the non-tiled
+        # path would keep; clamp it into bounds instead of dropping it.
+        pad_x, pad_y = image.width < tw, image.height < th
+        kept_objects: List[Object] = []
+        for o in objects:
+            if pad_x and not 0 <= o.anchor.x < image.width:
+                continue
+            if pad_y and not 0 <= o.anchor.y < image.height:
+                continue
+            o.anchor.x = min(max(o.anchor.x, 0.0), image.width - 1)
+            o.anchor.y = min(max(o.anchor.y, 0.0), image.height - 1)
+            kept_objects.append(o)
+        objects = kept_objects
 
         radius = (
             dedup_radius

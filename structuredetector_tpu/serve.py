@@ -30,6 +30,11 @@ __all__ = ["MicroBatcher", "make_server", "run_server"]
 
 _SHUTDOWN = object()
 
+# Reject request bodies above this before reading them: ThreadingHTTPServer
+# spawns a thread per connection, so unbounded client-declared
+# Content-Length would let concurrent uploads exhaust host memory.
+MAX_BODY_BYTES = 32 << 20  # 32 MB — generous for any real camera JPEG
+
 
 def _pad_pow2(n: int, cap: int) -> int:
     p = 1
@@ -47,12 +52,14 @@ class MicroBatcher:
     """
 
     def __init__(self, predict_batch, max_batch: int = 8,
-                 window_ms: float = 5.0):
+                 window_ms: float = 5.0,
+                 submit_timeout_s: Optional[float] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._predict = predict_batch
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
+        self.submit_timeout_s = submit_timeout_s
         self._queue: "queue.Queue" = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()  # orders submit() vs close()
@@ -62,9 +69,17 @@ class MicroBatcher:
         self.batches_run = 0
         self.images_run = 0
 
-    def submit(self, image: Image.Image):
+    @property
+    def queue_depth(self) -> int:
+        """Images waiting for a device batch (approximate, lock-free)."""
+        return self._queue.qsize()
+
+    def submit(self, image: Image.Image, timeout: Optional[float] = None):
         """Blocks until the batcher has a result; returns the annotation
-        (or raises what the model raised)."""
+        (or raises what the model raised). A `timeout` (seconds; default
+        the constructor's `submit_timeout_s`, default unbounded) raises
+        TimeoutError instead of wedging the calling thread if the device
+        path stalls (runaway compile, device hang)."""
         done = threading.Event()
         slot: dict = {}
         with self._lock:
@@ -74,7 +89,13 @@ class MicroBatcher:
             if self._closed:
                 raise RuntimeError("batcher is closed")
             self._queue.put((image, done, slot))
-        done.wait()
+        if not done.wait(timeout if timeout is not None else self.submit_timeout_s):
+            # the worker may still complete this item later; that only
+            # sets an Event nobody reads
+            raise TimeoutError(
+                f"inference did not complete within the submit timeout "
+                f"({timeout or self.submit_timeout_s} s)"
+            )
         if "error" in slot:
             raise slot["error"]
         return slot["result"]
@@ -86,6 +107,21 @@ class MicroBatcher:
             self._closed = True
             self._queue.put(_SHUTDOWN)
         self._worker.join(timeout=5)
+        if self._worker.is_alive():
+            # worker wedged inside predict_batch: its finally-drain will
+            # never run, so fail everything still queued ourselves (items
+            # the worker already dequeued are covered by submit timeouts)
+            while True:
+                try:
+                    leftover = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if leftover is _SHUTDOWN:
+                    continue
+                _, done, slot = leftover
+                slot["error"] = RuntimeError(
+                    "batcher shut down while the device worker was hung")
+                done.set()
 
     def _loop(self):
         try:
@@ -158,16 +194,18 @@ class MicroBatcher:
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
-                max_batch: int = 8, window_ms: float = 5.0):
+                max_batch: int = 8, window_ms: float = 5.0,
+                submit_timeout_s: Optional[float] = 30.0):
     """(ThreadingHTTPServer, MicroBatcher) serving the predictor.
 
     Routes:
       POST /detect  — raw JPEG/PNG bytes in the body -> annotation JSON
                       (reference schema) in original image coordinates
-      GET  /healthz — liveness + batching counters
+      GET  /healthz — liveness + batching counters + queue depth
     """
     batcher = MicroBatcher(predictor.predict_batch, max_batch=max_batch,
-                           window_ms=window_ms)
+                           window_ms=window_ms,
+                           submit_timeout_s=submit_timeout_s)
     cfg = predictor.config
     model_info = {
         "width": cfg.width, "height": cfg.height,
@@ -193,6 +231,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                     "status": "ok",
                     "batches_run": batcher.batches_run,
                     "images_run": batcher.images_run,
+                    "queue_depth": batcher.queue_depth,
                     "model": model_info,
                 })
             else:
@@ -202,8 +241,26 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
             if self.path != "/detect":
                 self._reply(404, {"error": f"no route {self.path}"})
                 return
+            raw_len = self.headers.get("Content-Length")
+            if raw_len is None:
+                self._reply(411, {"error": "Content-Length required"})
+                return
             try:
-                length = int(self.headers.get("Content-Length", 0))
+                length = int(raw_len)
+            except ValueError:
+                self._reply(400, {"error": f"bad Content-Length: {raw_len!r}"})
+                return
+            if length <= 0:
+                self._reply(400, {"error": "empty body"})
+                return
+            if length > MAX_BODY_BYTES:
+                # refuse BEFORE reading: the declared size alone must not
+                # let clients fill host memory
+                self._reply(413, {
+                    "error": f"body too large ({length} > {MAX_BODY_BYTES} bytes)"
+                })
+                return
+            try:
                 data = self.rfile.read(length)
                 image = Image.open(io.BytesIO(data))
                 image.load()  # force the decode NOW: Image.open is lazy,
@@ -216,6 +273,9 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 return
             try:
                 annotation = batcher.submit(image)
+            except TimeoutError as e:
+                self._reply(503, {"error": str(e)})
+                return
             except Exception as e:
                 self._reply(500, {"error": str(e)})
                 return
@@ -237,9 +297,11 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
 
 def run_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                max_batch: int = 8, window_ms: float = 5.0,
-               ready: Optional[threading.Event] = None):
+               ready: Optional[threading.Event] = None,
+               submit_timeout_s: Optional[float] = 30.0):
     """Serve until interrupted; `ready` is set once the socket listens."""
-    server, batcher = make_server(predictor, host, port, max_batch, window_ms)
+    server, batcher = make_server(predictor, host, port, max_batch, window_ms,
+                                  submit_timeout_s=submit_timeout_s)
     if ready is not None:
         ready.set()
     try:

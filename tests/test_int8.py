@@ -125,16 +125,34 @@ def test_int8_training_rejected():
                     mutable=["batch_stats"])
 
 
+def test_int8_dynamic_scales_isolate_batchmates():
+    """Dynamic activation quantization is per-sample: a batchmate with a
+    10x larger range must not change another sample's output (serving
+    micro-batches mix unrelated requests)."""
+    cfg = _tiny_config(int8=True)
+    m8 = build_model(cfg)
+    _, variables = init_model(_tiny_config())
+
+    x = jax.random.uniform(jax.random.PRNGKey(7), (1, 64, 64, 3)) * 2 - 1
+    loud = x * 10.0
+    alone = m8.apply(variables, x, train=False)
+    paired = m8.apply(variables, jnp.concatenate([x, loud]), train=False)
+    for k in alone:
+        np.testing.assert_array_equal(
+            np.asarray(alone[k][0]), np.asarray(paired[k][0]), err_msg=k)
+
+
 def test_calibrated_static_scales():
     """calibrate_activation_scales bakes act_scale params for exactly
-    the int8 convs; serving on the calibration data itself is
-    bit-identical to the dynamic path (same scales by construction)."""
+    the int8 convs; serving on the (single-image) calibration batch is
+    bit-identical to the dynamic path (same scales by construction —
+    the dynamic path is per-sample, so only batch 1 pins this)."""
     from structuredetector_tpu.models.quantize import calibrate_activation_scales
 
     cfg = _tiny_config(int8=True)
     m8 = build_model(cfg)
     _, variables = init_model(_tiny_config())
-    x = jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3)) * 2 - 1
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3)) * 2 - 1
 
     cal = calibrate_activation_scales(m8, variables, [x])
     p = cal["params"]

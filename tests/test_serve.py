@@ -82,6 +82,76 @@ def test_microbatcher_submit_after_close_raises():
     b.close()  # idempotent
 
 
+def test_microbatcher_submit_timeout():
+    """A stalled device path 503s the request (TimeoutError) instead of
+    wedging the handler thread forever."""
+    release = threading.Event()
+
+    def hung_predict(images):
+        release.wait(10)
+        return ["late"] * len(images)
+
+    b = MicroBatcher(hung_predict, max_batch=2, window_ms=1.0,
+                     submit_timeout_s=0.1)
+    t0 = time.monotonic()
+    with pytest.raises(TimeoutError, match="submit timeout"):
+        b.submit(Image.new("RGB", (8, 8)))
+    assert time.monotonic() - t0 < 5
+    # per-call override beats the constructor default
+    with pytest.raises(TimeoutError):
+        b.submit(Image.new("RGB", (8, 8)), timeout=0.05)
+    release.set()
+    b.close()
+
+
+def test_microbatcher_close_fails_queued_items_when_worker_hung():
+    """If the worker is wedged inside predict_batch, close() itself
+    drains the queue so no waiter stays blocked."""
+    entered = threading.Event()
+    release = threading.Event()
+
+    def hung_predict(images):
+        entered.set()
+        release.wait(30)
+        return ["late"] * len(images)
+
+    b = MicroBatcher(hung_predict, max_batch=1, window_ms=1.0)
+    b._worker.join(timeout=0)  # worker alive
+    hang_err = {}
+
+    def first():
+        try:
+            b.submit(Image.new("RGB", (8, 8)))
+        except Exception as e:
+            hang_err["e"] = e
+
+    t1 = threading.Thread(target=first, daemon=True)
+    t1.start()
+    assert entered.wait(5)  # worker is now stuck in predict_batch
+    # second request sits in the queue behind the hung batch
+    queued_err = {}
+
+    def second():
+        try:
+            b.submit(Image.new("RGB", (8, 8)))
+        except Exception as e:
+            queued_err["e"] = e
+
+    t2 = threading.Thread(target=second, daemon=True)
+    t2.start()
+    while b.queue_depth == 0:
+        time.sleep(0.01)
+    b._worker.join(timeout=0)
+    orig_join = b._worker.join
+    b._worker.join = lambda timeout=None: orig_join(timeout=0.2)  # fast close
+    b.close()
+    t2.join(timeout=5)
+    assert isinstance(queued_err.get("e"), RuntimeError)
+    assert "hung" in str(queued_err["e"])
+    release.set()  # unwedge; the first waiter then gets its (late) result
+    t1.join(timeout=5)
+
+
 @pytest.mark.slow  # compiles the full model
 def test_http_server_end_to_end():
     from structuredetector_tpu.config import Config
@@ -106,6 +176,7 @@ def test_http_server_end_to_end():
         assert health["status"] == "ok"
         assert health["model"]["anchors"] == ["bean", "maize"]
         assert health["model"]["width"] == 64
+        assert health["queue_depth"] == 0
 
         rng = np.random.default_rng(0)
         buf = io.BytesIO()
@@ -133,6 +204,24 @@ def test_http_server_end_to_end():
                 f"http://127.0.0.1:{port}/nope", timeout=30
             )
         assert e.value.code == 404
+
+        # an oversized declared Content-Length is refused (413) BEFORE
+        # the body is read — the memory-exhaustion guard
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=b"tiny", method="POST",
+            headers={"Content-Length": str(64 << 20)},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 413
+        # invalid Content-Length -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/detect", data=b"tiny", method="POST",
+            headers={"Content-Length": "nope"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400
     finally:
         server.shutdown()
         thread.join(timeout=5)
