@@ -1,15 +1,16 @@
 """Differential parity: identical inputs through the reference (torch CPU)
 and through our JAX implementation must produce the same outputs.
 
-Covers the four numerics-critical surfaces:
+Covers all five numerics-critical surfaces:
 - composite Loss + FocalLoss/L1/SmoothL1/L2 (ref loss.py:8-117),
 - target Encode (ref transforms.py:121-208) vs host flatten + device
   encode_targets,
 - Decoder end to end, annotations + raw_parts (ref decoders.py:29-179),
-- Evaluator, all four metric families (ref evaluator.py:208-646).
-
-The reference's Network (torchvision) is the only module out of scope;
-its numerics are pinned separately via the torch_bridge weight tests.
+- Evaluator, all four metric families (ref evaluator.py:208-646),
+- Network forward (ref network.py:6-87): torchvision isn't installed,
+  so the reference graph is hand-assembled from plain torch modules
+  (its spec is 87 lines of conv/BN/ReLU) and run with bridged-identical
+  weights.
 """
 
 from __future__ import annotations
@@ -522,3 +523,158 @@ def test_compute_csi_differential(cfg, ref_args, seed):
         got = Evaluator.compute_csi(our_obj, our_gt, thresh)
         want = ref.evaluator.Evaluator.compute_csi(ref_obj, ref_gt, thresh)
         assert got == pytest.approx(want)
+
+
+# ---------------------------------------------------------------------------
+# Network forward: hand-assembled torch twin (the reference Network minus
+# the torchvision import) vs our JAX model with bridged-identical weights
+# ---------------------------------------------------------------------------
+
+
+def _torch_sdnet(n_labels, n_parts, fpn_depth):
+    """The reference Network assembled from plain torch modules.
+
+    torchvision isn't installed here, but the reference's graph is fully
+    specified by /root/reference/src/sdnet/model/network.py:32-87 (ResNet34
+    encoder split into adapter + layer1..4) with Fpn up-blocks (:6-19) and
+    a 1x1 Head (:22-29); the ResNet34 stages are torchvision BasicBlocks
+    ([3, 4, 6, 3] at widths [64, 128, 256, 512]). Parameter names mirror
+    the reference state_dict (adpater/down1..4/up1..4/head) so
+    `convert_sdnet_state_dict` applies unchanged.
+    """
+    tnn = torch.nn
+
+    class BasicBlock(tnn.Module):
+        def __init__(self, cin, cout, stride):
+            super().__init__()
+            self.conv1 = tnn.Conv2d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(cout)
+            self.relu = tnn.ReLU(inplace=True)
+            self.conv2 = tnn.Conv2d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(cout)
+            self.downsample = (
+                tnn.Sequential(
+                    tnn.Conv2d(cin, cout, 1, stride, bias=False),
+                    tnn.BatchNorm2d(cout),
+                )
+                if stride != 1 or cin != cout
+                else None
+            )
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idn)
+
+    def stage(cin, cout, n_blocks, stride):
+        blocks = [BasicBlock(cin, cout, stride)]
+        blocks += [BasicBlock(cout, cout, 1) for _ in range(n_blocks - 1)]
+        return tnn.Sequential(*blocks)
+
+    class Fpn(tnn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.up = tnn.Upsample(scale_factor=2)  # nearest
+            self.lateral = tnn.Conv2d(cin, cout, 1)
+            self.conv = tnn.Sequential(
+                tnn.Conv2d(cout, cout, 3, padding=1, bias=False),
+                tnn.BatchNorm2d(cout),
+                tnn.ReLU(inplace=True),
+            )
+
+        def forward(self, x, skip):
+            return self.conv(self.up(x) + self.lateral(skip))
+
+    class Head(tnn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.conv = tnn.Conv2d(cin, cout, 1)
+
+    class Net(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            # "adpater" [sic]: the reference's stem name, kept for
+            # state_dict compatibility (network.py:43-45)
+            self.adpater = tnn.Sequential(
+                tnn.Conv2d(3, 64, 7, 2, 3, bias=False),
+                tnn.BatchNorm2d(64),
+                tnn.ReLU(inplace=True),
+                tnn.MaxPool2d(3, 2, 1),
+            )
+            self.down1 = stage(64, 64, 3, 1)
+            self.down2 = stage(64, 128, 4, 2)
+            self.down3 = stage(128, 256, 6, 2)
+            self.down4 = stage(256, 512, 3, 2)
+            self.up1 = tnn.Conv2d(512, fpn_depth, 1)
+            self.up2 = Fpn(256, fpn_depth)
+            self.up3 = Fpn(128, fpn_depth)
+            self.up4 = Fpn(64, fpn_depth)
+            self.head = Head(fpn_depth, n_labels + n_parts + 4)
+
+        def forward(self, x):
+            p1 = self.adpater(x)
+            p2 = self.down1(p1)
+            p3 = self.down2(p2)
+            p4 = self.down3(p3)
+            p5 = self.down4(p4)
+            f = self.up1(p5)
+            f = self.up2(f, p4)
+            f = self.up3(f, p3)
+            f = self.up4(f, p2)
+            out = self.head.conv(f)
+            return {
+                "anchor_hm": out[:, :n_labels],
+                "part_hm": out[:, n_labels : n_labels + n_parts],
+                "offsets": out[:, n_labels + n_parts : n_labels + n_parts + 2],
+                "embeddings": out[:, n_labels + n_parts + 2 :],
+            }
+
+    return Net()
+
+
+@pytest.mark.slow  # full 34-layer forward on CPU, both frameworks
+def test_network_forward_differential(cfg):
+    """Bridge-identical weights -> fp32 forward agreement <= 1e-4 on
+    random inputs. Closes the last un-cross-checked numerics surface
+    (the other four are pinned by the tests above)."""
+    import jax.numpy as jnp
+
+    from structuredetector_tpu.models.network import build_model
+    from structuredetector_tpu.models.torch_bridge import convert_sdnet_state_dict
+
+    tm = _torch_sdnet(cfg.n_labels, cfg.n_parts, cfg.fpn_depth)
+    tm.eval()
+
+    # randomize BN affine + running stats away from the (near-identity)
+    # defaults so a transposed/missing stat would actually show up
+    gen = torch.Generator().manual_seed(926354916)
+    with torch.no_grad():
+        for mod in tm.modules():
+            if isinstance(mod, torch.nn.BatchNorm2d):
+                mod.weight.uniform_(0.8, 1.2, generator=gen)
+                mod.bias.normal_(0.0, 0.05, generator=gen)
+                mod.running_mean.normal_(0.0, 0.05, generator=gen)
+                mod.running_var.uniform_(0.8, 1.2, generator=gen)
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = convert_sdnet_state_dict(sd)
+
+    fp32_cfg = Config(
+        width=cfg.width, height=cfg.height, fpn_depth=cfg.fpn_depth,
+        max_objects=cfg.max_objects, max_parts=cfg.max_parts, use_amp=False,
+    )
+    fp32_cfg.set_labels(list(cfg.labels), list(cfg.parts))
+    model = build_model(fp32_cfg)
+
+    rng = _rng(900)
+    x = rng.normal(size=(2, cfg.height, cfg.width, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    got = model.apply(variables, jnp.asarray(x), train=False)
+
+    for key in ("anchor_hm", "part_hm", "offsets", "embeddings"):
+        w = np.transpose(want[key].numpy(), (0, 2, 3, 1))
+        g = np.asarray(got[key], np.float32)
+        assert g.shape == w.shape, key
+        np.testing.assert_allclose(g, w, atol=1e-4, rtol=1e-4, err_msg=key)
