@@ -1,9 +1,13 @@
 """Headline benchmark: batched end-to-end 512x512 inference throughput.
 
 Runs on whatever accelerator JAX exposes (one TPU chip under the
-driver). Measures the full device path — bf16 ResNet34-FPN forward +
+driver). Measures the full device path in the BEST shipping serving
+configuration — int8 convs (s8xs8->s32 on the MXU at 2x the bf16 peak)
+with statically calibrated activation scales, prequantized weights,
 fused sigmoid/NMS + top-k decode to fixed-shape detection arrays —
-i.e. everything up to the host annotation materialization.
+i.e. everything up to the host annotation materialization. Calibration
+runs in-process on synthetic data spanning the normalized input range,
+exactly as `convert_export --int8 --calibrate_dir` would bake it.
 
 Methodology: ITERS inference steps are chained *inside one jitted
 program* via `lax.scan`, with a data dependence between iterations (the
@@ -28,22 +32,42 @@ from jax import lax
 
 from structuredetector_tpu.config import Config
 from structuredetector_tpu.models import init_model
+from structuredetector_tpu.models.quantize import (
+    calibrate_activation_scales,
+    prequantize_variables,
+)
 from structuredetector_tpu.ops.decode import decode_feature_maps
 
 BASELINE_FPS = 90.0  # reference README.md:114 (M1 Pro ANE, end-to-end)
-ITERS = 5
+ITERS = 25
+# ImageNet-normalized input range: (0 - mean)/std to (1 - mean)/std
+NORM_LO, NORM_HI = -2.12, 2.64
 
 
 def main():
     on_tpu = jax.default_backend() == "tpu"
-    cfg = Config(width=512, height=512, use_amp=True)
+    # CPU fallback exists only as a smoke test: XLA CPU emulates the
+    # int8 convs far too slowly for 512x512, so shrink there.
+    size = 512 if on_tpu else 128
+    cfg = Config(width=size, height=size, use_amp=True, int8=True)
     cfg.set_labels(["bean", "maize"], ["leaf"])
     cfg.validate()
 
     model, variables = init_model(cfg)
-    # batch 256 measured ~4% faster than 128 (better MXU occupancy in
-    # the early narrow stages); fits v5e HBM with margin.
-    batch = 256 if on_tpu else 2
+    # int8 + static scales measured fastest at batch 128 (DESIGN.md
+    # serving section: 4,007-4,035 img/s across repeats on v5e).
+    batch = 128 if on_tpu else 2
+
+    key = jax.random.PRNGKey(0)
+    images = jax.random.uniform(
+        key, (batch, cfg.height, cfg.width, 3), jnp.float32,
+        minval=NORM_LO, maxval=NORM_HI)
+
+    # static activation scales: no per-call amax reductions in the
+    # serving graph; prequantized int8 kernels: weight quantization (and
+    # the float weight reads) hoisted out of the graph.
+    variables = calibrate_activation_scales(model, variables, [images])
+    variables = prequantize_variables(variables)
 
     nms_fn = None
     if on_tpu:
@@ -74,14 +98,12 @@ def main():
         carry, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return carry
 
-    images = jnp.zeros((batch, cfg.height, cfg.width, 3), jnp.float32)
-
     # warmup / compile. NOTE: synchronization is via a host transfer
     # (float(...)) — block_until_ready is unreliable through tunneled
     # single-controller backends and can return before execution.
     float(infer_loop(variables, images))
 
-    reps = 3 if on_tpu else 1
+    reps = 2 if on_tpu else 1
     t0 = time.perf_counter()
     for _ in range(reps):
         out = infer_loop(variables, images)
@@ -90,7 +112,7 @@ def main():
 
     fps = batch * ITERS * reps / dt
     print(json.dumps({
-        "metric": "e2e_inference_fps_512",
+        "metric": "e2e_inference_fps_512_int8_static",
         "value": round(fps, 1),
         "unit": "img/s",
         "vs_baseline": round(fps / BASELINE_FPS, 2),

@@ -125,8 +125,16 @@ class Trainer:
         valid_augmentation = ValidationAugmentation(config)
         self.valid_set = CropDataset(config, config.valid_dir, valid_augmentation)
         self.valid_set.localize_image_names()
+        # batch validation via --eval_batch_size (default 1 = reference
+        # parity, trainer.py:72-77): each forward dispatch costs ~25 ms
+        # through a tunneled device, so batching the every-2-epochs pass
+        # amortizes it 1/batch. Detection metrics are batch-invariant
+        # (per-image decode + matching); only the reported validation
+        # *loss* shifts slightly at batch > 1 because focal-loss
+        # normalization spans the batch instead of one image.
         self.valid_loader = Loader(
-            self.valid_set, batch_size=1, num_workers=config.num_workers,
+            self.valid_set, batch_size=config.eval_batch_size,
+            num_workers=config.num_workers,
             batch_fetch=choose_batch_fetch(config, self.valid_set, valid_augmentation),
         )
 
@@ -319,22 +327,25 @@ class Trainer:
         last = None
 
         for batch in tqdm(self.valid_loader, desc="Validation", leave=False,
-                          unit="image"):
+                          unit="batch"):
             images = jnp.asarray(batch["image"])
             kp = kp_to_device_dict(batch["keypoints"])
             outputs, stats, gt_maps = eval_step(variables, images, kp)
 
             data = self.decoder(outputs, return_metadata=True)
-            prediction = data["annotation"][0]
-            annotation = batch["annotation"][0]
-            self.evaluator.accumulate(
-                prediction, annotation, data["raw_parts"][0],
-                eval_csi=True, eval_classif=True,
-            )
+            bn = len(batch["annotation"])
+            for i, annotation in enumerate(batch["annotation"]):
+                self.evaluator.accumulate(
+                    data["annotation"][i], annotation, data["raw_parts"][i],
+                    eval_csi=True, eval_classif=True,
+                )
+            # stats are batch means; weight by batch count so the final
+            # average is per-image regardless of a smaller last batch
             for k, v in jax.device_get(stats).items():
-                loss_sums[k] = loss_sums.get(k, 0.0) + float(v)
-            n += 1
-            last = (batch, data, prediction, annotation, gt_maps)
+                loss_sums[k] = loss_sums.get(k, 0.0) + float(v) * bn
+            n += bn
+            last = (batch, data, data["annotation"][0], batch["annotation"][0],
+                    gt_maps)
 
         loss_avg = {k: v / max(n, 1) for k, v in loss_sums.items()}
         summary = self.evaluator.scalar_summary()

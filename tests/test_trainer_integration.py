@@ -151,3 +151,24 @@ print("DONE", int(trainer.state.step), flush=True)
     assert int(m.group(1)) == interrupted_step
     m = re.search(r"DONE (\d+)", proc2.stdout)
     assert m and int(m.group(1)) > interrupted_step
+
+
+def test_batched_validation_matches_batch1(dataset_dirs, monkeypatch, tmp_path):
+    """Trainer.valid at --eval_batch_size 2 must reproduce the batch-1
+    detection metrics exactly (decode + matching are per-image); only
+    the loss may shift (focal normalization spans the batch)."""
+    from structuredetector_tpu.train import Trainer
+
+    monkeypatch.chdir(tmp_path)
+    summaries = []
+    for ebs in (1, 2):
+        cfg = make_config(dataset_dirs, eval_batch_size=ebs)
+        trainer = Trainer(cfg, log=False)
+        summaries.append(trainer.valid())
+        trainer.writer.close()
+        trainer.checkpoints.wait()
+    s1, s2 = summaries
+    assert set(s1) == set(s2)
+    for k in s1:
+        if k.startswith(("kps/", "anchor/", "part/", "csi/", "classif/")):
+            assert s1[k] == pytest.approx(s2[k]), k
