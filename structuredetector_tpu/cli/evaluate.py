@@ -53,6 +53,14 @@ def main(argv=None):
     evaluator.pretty_print()
     if config.csv_path is not None:
         evaluator.save_kps_csv(config.csv_path)
+    if config.summary_path is not None:
+        import json
+
+        from pathlib import Path
+
+        Path(config.summary_path).write_text(
+            json.dumps(evaluator.scalar_summary(), indent=2)
+        )
 
 
 if __name__ == "__main__":

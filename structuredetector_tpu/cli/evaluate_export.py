@@ -35,6 +35,8 @@ def parse_args(argv=None):
     p.add_argument("--decoder_dist_thresh", type=float, default=0.1)
     p.add_argument("--csi_threshold", type=float, default=0.75)
     p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--save_summary", type=str, default=None,
+                   help="Write the flat metric summary (scalar_summary) as JSON.")
     return p.parse_args(argv)
 
 
@@ -73,6 +75,12 @@ def main(argv=None):
             )
 
     evaluator.pretty_print()
+    if args.save_summary:
+        import json
+
+        Path(args.save_summary).write_text(
+            json.dumps(evaluator.scalar_summary(), indent=2)
+        )
 
 
 if __name__ == "__main__":

@@ -57,6 +57,7 @@ class Config:
     decoder_dist_thresh: float = 0.1
     csi_threshold: float = 0.75
     csv_path: Optional[Path] = None
+    summary_path: Optional[Path] = None
 
     # precision: "--amp" in the reference enables autocast; on TPU the
     # native mixed precision is bf16 compute + fp32 params, which is the
@@ -298,6 +299,8 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--csi_threshold", type=float, default=d.csi_threshold,
                    help="CSI threshold for evaluation, in [0, 1].")
     p.add_argument("--save_csv_eval", dest="csv_path", type=Path, default=None)
+    p.add_argument("--save_summary", dest="summary_path", type=Path, default=None,
+                   help="Write the flat metric summary (scalar_summary) as JSON.")
     p.add_argument("--amp", action="store_true", dest="amp_flag",
                    help="Mixed precision (bf16 compute) — the TPU default, so this "
                         "flag confirms it; conflicts with --no_amp.")
@@ -391,6 +394,7 @@ def config_from_args(argv=None) -> Config:
         decoder_dist_thresh=ns.decoder_dist_thresh,
         csi_threshold=ns.csi_threshold,
         csv_path=ns.csv_path,
+        summary_path=ns.summary_path,
         use_amp=not ns.no_amp,
         data_parallel=ns.data_parallel,
         model_parallel=ns.model_parallel,

@@ -687,6 +687,9 @@ class Evaluator:
             out[f"{name}/f1_total"] = total.f1_score
             out[f"{name}/precision_total"] = total.precision
             out[f"{name}/recall_total"] = total.recall
+            out[f"{name}/csi_total"] = total.csi
+            if total.avg_acc is not None:
+                out[f"{name}/acc_total"] = total.avg_acc
             for label, e in evals.items():
                 if e.npos or e.ndet:
                     out[f"{name}/f1_{label}"] = e.f1_score

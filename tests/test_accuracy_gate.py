@@ -1,0 +1,81 @@
+"""The accuracy-gate tooling: `--save_summary` on both eval CLIs and the
+checkpoint-vs-export comparison driver (`tools/accuracy_gate.py`),
+which mirrors the reference's export-validation loop
+(/root/reference/src/sdnet/cli/evaluate_coreml.py:125-130)."""
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+from structuredetector_tpu.config import Config
+from structuredetector_tpu.models import init_model
+from structuredetector_tpu.models.network import save_params
+
+sys.path.insert(0, str(Path(__file__).parent))
+from test_trainer_integration import write_dataset  # noqa: E402
+
+pytestmark = pytest.mark.slow  # compile-heavy: CLI round trips
+
+
+@pytest.fixture(scope="module")
+def gate_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("gate")
+    write_dataset(root / "train", 4, seed=1)
+    write_dataset(root / "valid", 2, seed=2)
+    (root / "labels.json").write_text(
+        json.dumps({"labels": ["bean", "maize"], "parts": ["leaf"]})
+    )
+    cfg = Config(width=32, height=32, fpn_depth=16, max_objects=4,
+                 max_parts=8, use_amp=False)
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    cfg.anchor_name = "stem"
+    _, variables = init_model(cfg)
+    ckpt = root / "model.msgpack"
+    save_params(variables, ckpt)
+    return root, ckpt
+
+
+def test_evaluate_cli_save_summary(gate_env, tmp_path):
+    from structuredetector_tpu.cli import evaluate
+
+    root, ckpt = gate_env
+    out = tmp_path / "summary.json"
+    evaluate.main([
+        "--valid_dir", str(root / "valid"), "--load_model", str(ckpt),
+        "--labels", str(root / "labels.json"), "--anchor_name", "stem",
+        "--width", "32", "--height", "32", "--fpn_depth", "16",
+        "--max_objects", "4", "--max_parts", "8", "--no_amp",
+        "--save_summary", str(out),
+    ])
+    s = json.loads(out.read_text())
+    for fam in ("anchor", "part", "kps", "csi", "classif"):
+        assert f"{fam}/f1_total" in s
+        assert f"{fam}/csi_total" in s
+
+
+def test_accuracy_gate_driver(gate_env, tmp_path, monkeypatch):
+    """Full driver: 4 modes through the real CLIs, one table out."""
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    import accuracy_gate
+
+    root, ckpt = gate_env
+    out = tmp_path / "gate.json"
+    monkeypatch.chdir(tmp_path)
+
+    accuracy_gate.main([
+        str(ckpt), "--valid_dir", str(root / "valid"),
+        "--train_dir", str(root / "train"),
+        "--labels", str(root / "labels.json"), "--anchor_name", "stem",
+        "-W", "32", "-H", "32", "--fpn_depth", "16",
+        "--max_objects", "4", "--max_parts", "8",
+        "--batch_size", "2", "--calibrate_images", "2",
+        "--out", str(out),
+    ])
+    payload = json.loads(out.read_text())
+    assert set(payload["summaries"]) == {
+        "checkpoint_bf16", "sdz_float", "int8_dynamic", "int8_static"}
+    for s in payload["summaries"].values():
+        assert "kps/f1_total" in s
+    assert "| int8_static |" in payload["table"]

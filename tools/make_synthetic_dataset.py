@@ -1,0 +1,195 @@
+"""Procedural crop-structure dataset generator (flagship accuracy gate).
+
+Real field data is unavailable in this sandbox (zero egress — see
+ROADMAP.md), so this renders the closest feasible analog of the
+reference's crop dataset (`/root/reference/README.md:32`, bean/maize
+plants with a stem anchor and leaf parts, `labels.json`): textured soil
+backgrounds, plants with a drawn stem whose base is the anchor
+keypoint, species-distinct leaves attached by petiole lines, gray-stone
+distractors, illumination jitter and sensor noise. Annotations follow
+the public JSON schema (`/root/reference/README.md:40-69`).
+
+The two species require real classification: bean leaves are round dark
+ellipses, maize leaves long light blades, but both vary in size, angle
+and hue so the label is not decidable from a single local color. Part
+counts span 1..8 so the `label_nparts` classification buckets are
+populated.
+
+Usage:
+    python tools/make_synthetic_dataset.py OUT_DIR --train 300 --valid 60
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+from pathlib import Path
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFilter
+
+SIZE = 512
+
+
+def _soil_background(rng: np.random.Generator) -> Image.Image:
+    """Low-frequency brown-green mottle + high-frequency grain."""
+    base = np.array(
+        [rng.uniform(70, 110), rng.uniform(55, 90), rng.uniform(35, 60)], np.float32
+    )
+    # luminance-correlated mottle (clods/shadows), smoothly upsampled,
+    # with a faint independent color cast so it is not pure grayscale
+    lum = rng.normal(0.0, 16.0, size=(16, 16)).astype(np.float32)
+    lum = np.asarray(Image.fromarray(lum, mode="F").resize((SIZE, SIZE), Image.BILINEAR))
+    cast = rng.normal(0.0, 4.0, size=(8, 8, 3)).astype(np.float32)
+    cast = np.stack([
+        np.asarray(Image.fromarray(cast[..., c], mode="F").resize((SIZE, SIZE), Image.BILINEAR))
+        for c in range(3)
+    ], axis=-1)
+    fine = rng.normal(0.0, 6.0, size=(SIZE, SIZE, 1)).astype(np.float32)
+    img = base[None, None] + lum[..., None] * np.array([1.0, 0.95, 0.8], np.float32) + cast + fine
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return Image.fromarray(img).filter(ImageFilter.GaussianBlur(0.8))
+
+
+def _rot(x: float, y: float, a: float) -> tuple[float, float]:
+    return x * math.cos(a) - y * math.sin(a), x * math.sin(a) + y * math.cos(a)
+
+
+def _draw_leaf(d: ImageDraw.ImageDraw, cx, cy, angle, species, rng):
+    """Leaf polygon centered at (cx, cy) pointing along `angle`."""
+    if species == "bean":
+        ln = rng.uniform(16, 30)  # round-ish
+        wd = ln * rng.uniform(0.55, 0.8)
+        col = (
+            int(rng.uniform(25, 60)),
+            int(rng.uniform(95, 140)),
+            int(rng.uniform(25, 55)),
+        )
+    else:  # maize: long thin blade
+        ln = rng.uniform(34, 60)
+        wd = ln * rng.uniform(0.12, 0.22)
+        col = (
+            int(rng.uniform(95, 140)),
+            int(rng.uniform(150, 195)),
+            int(rng.uniform(40, 75)),
+        )
+    pts = []
+    for t in np.linspace(0.0, 2.0 * math.pi, 12, endpoint=False):
+        px = (ln / 2) * math.cos(t)
+        py = (wd / 2) * math.sin(t)
+        rx, ry = _rot(px, py, angle)
+        pts.append((cx + rx, cy + ry))
+    d.polygon(pts, fill=col, outline=tuple(max(0, c - 25) for c in col))
+
+
+def _draw_stone(d: ImageDraw.ImageDraw, rng):
+    cx, cy = rng.uniform(0, SIZE), rng.uniform(0, SIZE)
+    r = rng.uniform(4, 14)
+    g = int(rng.uniform(110, 170))
+    col = (g, g, int(g * rng.uniform(0.9, 1.0)))
+    d.ellipse([cx - r, cy - r * 0.8, cx + r, cy + r * 0.8], fill=col)
+
+
+def _make_plant(d: ImageDraw.ImageDraw, rng, occupied):
+    """Draw one plant; returns (object-dict, anchor xy) or None if no room."""
+    for _ in range(30):
+        ax = rng.uniform(36, SIZE - 36)
+        ay = rng.uniform(48, SIZE - 24)
+        if all((ax - ox) ** 2 + (ay - oy) ** 2 > 92.0**2 for ox, oy in occupied):
+            break
+    else:
+        return None
+    occupied.append((ax, ay))
+
+    species = "bean" if rng.random() < 0.5 else "maize"
+    n_leaves = int(rng.integers(1, 9))
+    stem_h = rng.uniform(30, 70)
+    lean = rng.uniform(-0.35, 0.35)
+    tipx, tipy = ax + stem_h * math.sin(lean), ay - stem_h * math.cos(lean)
+
+    stem_col = (
+        (int(rng.uniform(70, 100)), int(rng.uniform(110, 140)), int(rng.uniform(35, 60)))
+        if species == "maize"
+        else (int(rng.uniform(80, 110)), int(rng.uniform(75, 105)), int(rng.uniform(30, 55)))
+    )
+    d.line([ax, ay, tipx, tipy], fill=stem_col, width=int(rng.uniform(3, 6)))
+
+    parts = [{"kind": "stem", "location": {"x": round(ax, 1), "y": round(ay, 1)}, "score": None}]
+    for i in range(n_leaves):
+        # leaves fan out from points along the stem
+        t = rng.uniform(0.35, 1.0)
+        bx = ax + (tipx - ax) * t
+        by = ay + (tipy - ay) * t
+        side = 1.0 if (i % 2 == 0) else -1.0
+        ang = lean + side * rng.uniform(0.5, 1.5)
+        reach = rng.uniform(14, 34)
+        lx = bx + reach * math.sin(ang)
+        ly = by - reach * math.cos(ang) * rng.uniform(0.2, 0.9)
+        lx = float(np.clip(lx, 4, SIZE - 4))
+        ly = float(np.clip(ly, 4, SIZE - 4))
+        d.line([bx, by, lx, ly], fill=stem_col, width=2)
+        _draw_leaf(d, lx, ly, ang + math.pi / 2 * rng.uniform(0.7, 1.3), species, rng)
+        parts.append({"kind": "leaf", "location": {"x": round(lx, 1), "y": round(ly, 1)}, "score": None})
+
+    # anchor marker: small dark node at the stem base
+    d.ellipse([ax - 4, ay - 4, ax + 4, ay + 4],
+              fill=tuple(max(0, c - 35) for c in stem_col))
+    return {"label": species, "box": None, "parts": parts}
+
+
+def render_image(rng: np.random.Generator):
+    img = _soil_background(rng)
+    d = ImageDraw.Draw(img)
+    for _ in range(int(rng.integers(3, 10))):
+        _draw_stone(d, rng)
+
+    objects = []
+    occupied: list[tuple[float, float]] = []
+    total_parts = 0
+    for _ in range(int(rng.integers(2, 7))):
+        obj = _make_plant(d, rng, occupied)
+        if obj is None:
+            continue
+        n_leaf = len(obj["parts"]) - 1
+        if total_parts + n_leaf > 36:  # stay under the max_parts=40 budget
+            break
+        total_parts += n_leaf
+        objects.append(obj)
+
+    # illumination jitter + mild sensor noise
+    arr = np.asarray(img).astype(np.float32)
+    arr = arr * rng.uniform(0.85, 1.15) + rng.uniform(-12, 12)
+    arr += rng.normal(0, 3.5, arr.shape)
+    img = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
+    return img, objects
+
+
+def write_split(out: Path, n: int, seed: int):
+    out.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    for i in range(n):
+        img, objects = render_image(rng)
+        stem = f"im_{i:04d}"
+        img.save(out / f"{stem}.jpg", quality=92)
+        (out / f"{stem}.json").write_text(json.dumps({
+            "image_path": str(out / f"{stem}.jpg"),
+            "img_size": [SIZE, SIZE],
+            "objects": objects,
+        }))
+    print(f"{out}: {n} images")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out", type=Path)
+    ap.add_argument("--train", type=int, default=300)
+    ap.add_argument("--valid", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=926354916)
+    args = ap.parse_args()
+    write_split(args.out / "train", args.train, args.seed)
+    write_split(args.out / "valid", args.valid, args.seed + 1)
+
+
+if __name__ == "__main__":
+    main()
