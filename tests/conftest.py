@@ -28,6 +28,24 @@ if not _TPU_MODE:
         xla_flags = (xla_flags + " --xla_cpu_max_isa=AVX512").strip()
     os.environ["XLA_FLAGS"] = xla_flags
 
+if not _TPU_MODE:
+    # Run-scoped persistent compilation cache: the slow tier compiles
+    # many identical tiny HLO modules from fresh per-test fixtures, and
+    # its subprocess tests (preemption, multihost) recompile the same
+    # train step from scratch. A shared cache dir dedups those at the
+    # HLO level — subprocesses inherit it via the env var. The dir is
+    # fresh per run (mkdtemp) unless the caller pins one, so the
+    # cross-run CPU-feature-drift aborts documented in DESIGN.md
+    # ("Compilation strategy") cannot occur: every entry was compiled
+    # by this same host during this same run.
+    import tempfile
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", tempfile.mkdtemp(prefix="sdnet-test-xla-")
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 import jax
 
 if not _TPU_MODE:

@@ -126,3 +126,35 @@ def test_ops_are_jittable():
     f = jax.jit(lambda x: topk_per_class(plateau_nms(clamped_sigmoid(x)), 4))
     out = f(jnp.zeros((1, 8, 8, 2)))
     assert out[0].shape == (1, 4)
+
+
+def test_topk_iterative_tiled_exact(rng):
+    """The two-level tiled iterative top-k must match `lax.top_k`
+    exactly — values AND indices, including tie order (ascending index
+    among equal values) — on planes large enough to trigger tiling."""
+    from structuredetector_tpu.ops.tensor import (
+        _pick_tile, _topk_iterative, _topk_iterative_flat,
+    )
+    import jax.numpy as jnp
+    from jax import lax
+
+    for n, k in ((2048, 20), (16384, 40), (15360, 40)):
+        assert _pick_tile(n) > 0, n
+        x = rng.random((2, 3, n)).astype(np.float32)
+        want_v, want_i = lax.top_k(jnp.asarray(x), k)
+        got_v, got_i = _topk_iterative(jnp.asarray(x), k)
+        np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+    # tie-heavy: few distinct values so ties span tiles; tiled, flat,
+    # and lax.top_k must agree element-for-element
+    x = (rng.integers(0, 4, size=(2, 2, 2048)) / 4.0).astype(np.float32)
+    want_v, want_i = lax.top_k(jnp.asarray(x), 30)
+    got_v, got_i = _topk_iterative(jnp.asarray(x), 30)
+    flat_v, flat_i = _topk_iterative_flat(jnp.asarray(x), 30)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(flat_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(want_v))
+
+    # small/odd plane falls back to the flat scan
+    assert _pick_tile(63) == 0
