@@ -25,7 +25,12 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from .tensor import clamped_sigmoid, gather_features, plateau_nms, topk_per_class
+from .tensor import (
+    clamped_sigmoid,
+    gather_features,
+    plateau_nms,
+    topk_per_class_pair,
+)
 
 
 def split_head_output(raw: jax.Array, n_labels: int, n_parts: int) -> Dict[str, jax.Array]:
@@ -38,14 +43,6 @@ def split_head_output(raw: jax.Array, n_labels: int, n_parts: int) -> Dict[str, 
         "offsets": raw[..., nb_hm : nb_hm + 2],
         "embeddings": raw[..., nb_hm + 2 : nb_hm + 4],
     }
-
-
-def _topk_with_offsets(hm, offsets_map, k):
-    scores, inds, labels, ys, xs = topk_per_class(hm, k)
-    offs = gather_features(offsets_map, inds)  # (B, k, 2)
-    xs = xs + offs[..., 0]
-    ys = ys + offs[..., 1]
-    return scores, inds, labels, ys, xs
 
 
 def decode_feature_maps(
@@ -93,16 +90,22 @@ def decode_feature_maps(
         if with_metadata:
             anchor_hm_sig, part_hm_sig = anchor_hm, part_hm
 
-    # Anchors (decoders.py:44-57)
-    anchor_scores, anchor_inds, anchor_labels, anchor_ys, anchor_xs = _topk_with_offsets(
-        anchor_hm, offsets_map, k
-    )
+    # Anchors (decoders.py:44-57) + parts (decoders.py:60-75): both
+    # stage-1 extractions run in ONE max(K, P)-round scan over the
+    # concatenated channel axis (exact; see topk_per_class_pair).
+    (
+        (anchor_scores, anchor_inds, anchor_labels, anchor_ys, anchor_xs),
+        (part_scores, part_inds, part_labels, part_ys, part_xs),
+    ) = topk_per_class_pair(anchor_hm, part_hm, k, p)
+
+    anchor_offs = gather_features(offsets_map, anchor_inds)
+    anchor_xs = anchor_xs + anchor_offs[..., 0]
+    anchor_ys = anchor_ys + anchor_offs[..., 1]
     anchors = jnp.stack((anchor_xs, anchor_ys, anchor_scores, anchor_labels), axis=2)
 
-    # Parts (decoders.py:60-75)
-    part_scores, part_inds, part_labels, part_ys, part_xs = _topk_with_offsets(
-        part_hm, offsets_map, p
-    )
+    part_offs = gather_features(offsets_map, part_inds)
+    part_xs = part_xs + part_offs[..., 0]
+    part_ys = part_ys + part_offs[..., 1]
     embeddings = gather_features(embeddings_map, part_inds)  # (B, P, 2)
     origin_xs = part_xs + embeddings[..., 0]
     origin_ys = part_ys + embeddings[..., 1]

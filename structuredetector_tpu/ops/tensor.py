@@ -128,6 +128,34 @@ def _topk_iterative(per_class: jax.Array, k: int):
     return jnp.moveaxis(vals, 0, -1), jnp.moveaxis(inds, 0, -1)
 
 
+def _topk_stage2(topk_scores: jax.Array, topk_inds: jax.Array, k: int, w: int, dtype):
+    """Stage 2 of the reference two-stage top-k: global top-k over the
+    (C * k) stage-1 scores; class recovered as flat_index // k
+    (reference utils.py:460)."""
+    b, c, _ = topk_scores.shape
+    topk_ys = (topk_inds // w).astype(dtype)
+    topk_xs = (topk_inds % w).astype(dtype)
+
+    flat_scores = topk_scores.reshape(b, c * k)
+    topk_score, topk_ind = lax.top_k(flat_scores, k)  # (B, k)
+    topk_classes = (topk_ind // k).astype(dtype)
+
+    take = lambda t: jnp.take_along_axis(t.reshape(b, c * k), topk_ind, axis=1)
+    return (
+        topk_score,
+        take(topk_inds),
+        topk_classes,
+        take(topk_ys),
+        take(topk_xs),
+    )
+
+
+def _stage1(per_class: jax.Array, k: int, iterative: bool):
+    if iterative and k <= 64:
+        return _topk_iterative(per_class, k)  # (B, C, k)
+    return lax.top_k(per_class, k)
+
+
 def topk_per_class(scores: jax.Array, k: int, iterative: bool = True):
     """Two-stage top-k (reference utils.py:447-467).
 
@@ -143,26 +171,44 @@ def topk_per_class(scores: jax.Array, k: int, iterative: bool = True):
     b, h, w, c = scores.shape
     # (B, C, H*W)
     per_class = jnp.transpose(scores, (0, 3, 1, 2)).reshape(b, c, h * w)
-    if iterative and k <= 64:
-        topk_scores, topk_inds = _topk_iterative(per_class, k)  # (B, C, k)
-    else:
-        topk_scores, topk_inds = lax.top_k(per_class, k)  # (B, C, k)
+    topk_scores, topk_inds = _stage1(per_class, k, iterative)
+    return _topk_stage2(topk_scores, topk_inds, k, w, scores.dtype)
 
-    topk_ys = (topk_inds // w).astype(scores.dtype)
-    topk_xs = (topk_inds % w).astype(scores.dtype)
 
-    flat_scores = topk_scores.reshape(b, c * k)
-    topk_score, topk_ind = lax.top_k(flat_scores, k)  # (B, k)
-    topk_classes = (topk_ind // k).astype(scores.dtype)
+def topk_per_class_pair(
+    scores_a: jax.Array, scores_b: jax.Array, k_a: int, k_b: int,
+    iterative: bool = True,
+):
+    """Two `topk_per_class` calls fused into ONE stage-1 extraction.
 
-    take = lambda t: jnp.take_along_axis(t.reshape(b, c * k), topk_ind, axis=1)
-    return (
-        topk_score,
-        take(topk_inds),
-        topk_classes,
-        take(topk_ys),
-        take(topk_xs),
+    The decode path needs top-K anchors over M channels and top-P parts
+    over N channels of the same (B, H, W) grid; running them separately
+    serializes K + P extraction rounds. Here the channel axes are
+    concatenated and a single scan of max(K, P) rounds extracts both —
+    exact, because stage-1 rounds are independent per class and emit
+    values in descending order, so the first k rounds of a
+    max(K, P)-round scan ARE the k-round result for that class.
+
+    Returns the two (scores, inds, classes, ys, xs) tuples.
+    """
+    b, h, w, ca = scores_a.shape
+    cb = scores_b.shape[-1]
+    k = max(k_a, k_b)
+    per_class = jnp.concatenate(
+        (
+            jnp.transpose(scores_a, (0, 3, 1, 2)).reshape(b, ca, h * w),
+            jnp.transpose(scores_b, (0, 3, 1, 2)).reshape(b, cb, h * w),
+        ),
+        axis=1,
     )
+    vals, inds = _stage1(per_class, k, iterative)
+    out_a = _topk_stage2(
+        vals[:, :ca, :k_a], inds[:, :ca, :k_a], k_a, w, scores_a.dtype
+    )
+    out_b = _topk_stage2(
+        vals[:, ca:, :k_b], inds[:, ca:, :k_b], k_b, w, scores_b.dtype
+    )
+    return out_a, out_b
 
 
 def gather_features(feat: jax.Array, inds: jax.Array) -> jax.Array:

@@ -158,3 +158,32 @@ def test_topk_iterative_tiled_exact(rng):
 
     # small/odd plane falls back to the flat scan
     assert _pick_tile(63) == 0
+
+
+def test_topk_pair_matches_separate(rng):
+    """The fused pair extraction must equal two independent
+    topk_per_class calls exactly (the decode path relies on this)."""
+    from structuredetector_tpu.ops.tensor import topk_per_class, topk_per_class_pair
+    import jax.numpy as jnp
+
+    for h, w in ((16, 16), (32, 32)):
+        a = rng.random((2, h, w, 2)).astype(np.float32)
+        b = rng.random((2, h, w, 1)).astype(np.float32)
+        # k > p and k < p, plus tie-heavy inputs
+        for (ka, kb) in ((5, 9), (9, 5)):
+            got_a, got_b = topk_per_class_pair(
+                jnp.asarray(a), jnp.asarray(b), ka, kb)
+            want_a = topk_per_class(jnp.asarray(a), ka)
+            want_b = topk_per_class(jnp.asarray(b), kb)
+            for g, wv in zip(got_a, want_a):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
+            for g, wv in zip(got_b, want_b):
+                np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
+
+    aq = (rng.integers(0, 3, size=(1, 32, 32, 2)) / 3.0).astype(np.float32)
+    bq = (rng.integers(0, 3, size=(1, 32, 32, 1)) / 3.0).astype(np.float32)
+    got_a, got_b = topk_per_class_pair(jnp.asarray(aq), jnp.asarray(bq), 4, 8)
+    want_a = topk_per_class(jnp.asarray(aq), 4)
+    want_b = topk_per_class(jnp.asarray(bq), 8)
+    for g, wv in zip(got_a + got_b, want_a + want_b):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(wv))
