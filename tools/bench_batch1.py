@@ -100,11 +100,29 @@ def main():
         pp = topk_per_class(d["part_hm"], cfg.max_parts)
         return a[0].sum() + pp[0].sum()
 
-    def topk_combined(r):
+    def topk_pair(r):
+        from structuredetector_tpu.ops.tensor import topk_per_class_pair
+
         d = split_head_output(r, cfg.n_labels, cfg.n_parts)
-        hm = jnp.concatenate([d["anchor_hm"], d["part_hm"]], axis=-1)
-        s = topk_per_class(hm, cfg.max_parts)
-        return s[0].sum()
+        a, pp = topk_per_class_pair(
+            d["anchor_hm"], d["part_hm"], cfg.max_objects, cfg.max_parts)
+        return a[0].sum() + pp[0].sum()
+
+    def topk_flat(r):
+        """The pre-r3 path: flat full-plane scans, two sequential."""
+        from structuredetector_tpu.ops.tensor import (
+            _topk_iterative_flat, _topk_stage2,
+        )
+
+        d = split_head_output(r, cfg.n_labels, cfg.n_parts)
+        out = []
+        for hm, kk in ((d["anchor_hm"], cfg.max_objects),
+                       (d["part_hm"], cfg.max_parts)):
+            b2, h2, w2, c2 = hm.shape
+            pc = jnp.transpose(hm, (0, 3, 1, 2)).reshape(b2, c2, h2 * w2)
+            v, i = _topk_iterative_flat(pc, kk)
+            out.append(_topk_stage2(v, i, kk, w2, hm.dtype))
+        return out[0][0].sum() + out[1][0].sum()
 
     results = {}
     for name, fn, inp in (
@@ -113,7 +131,8 @@ def main():
         ("decode", decode, raw),
         ("decode/front", front_only, raw),
         ("decode/topk", topk_only, raw),
-        ("decode/topk_combined", topk_combined, raw),
+        ("decode/topk_pair", topk_pair, raw),
+        ("decode/topk_flat_r2", topk_flat, raw),
     ):
         dt = timeit(chain(fn, args.steps), inp, args.steps)
         results[name] = dt

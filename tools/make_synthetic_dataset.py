@@ -12,8 +12,9 @@ the public JSON schema (`/root/reference/README.md:40-69`).
 The two species require real classification: bean leaves are round dark
 ellipses, maize leaves long light blades, but both vary in size, angle
 and hue so the label is not decidable from a single local color. Part
-counts span 1..8 so the `label_nparts` classification buckets are
-populated.
+counts span 1..6 (leaf keypoints are rejection-sampled to stay
+resolvable at the detector's Gaussian/NMS scale) so the `label_nparts`
+classification buckets are populated.
 
 Usage:
     python tools/make_synthetic_dataset.py OUT_DIR --train 300 --valid 60
@@ -91,20 +92,26 @@ def _draw_stone(d: ImageDraw.ImageDraw, rng):
     d.ellipse([cx - r, cy - r * 0.8, cx + r, cy + r * 0.8], fill=col)
 
 
-def _make_plant(d: ImageDraw.ImageDraw, rng, occupied):
-    """Draw one plant; returns (object-dict, anchor xy) or None if no room."""
+MIN_KP_DIST = 28.0  # keep keypoints resolvable: the encode Gaussian's
+# sigma at 512x512 is 0.1*128/3 grid cells ~ 17 input px, and 5x5
+# plateau NMS suppresses peaks closer than ~10 px on the stride-4 grid
+
+
+def _make_plant(d: ImageDraw.ImageDraw, rng, occupied, keypoints):
+    """Draw one plant; returns object-dict or None if no room."""
     for _ in range(30):
-        ax = rng.uniform(36, SIZE - 36)
-        ay = rng.uniform(48, SIZE - 24)
-        if all((ax - ox) ** 2 + (ay - oy) ** 2 > 92.0**2 for ox, oy in occupied):
+        ax = rng.uniform(48, SIZE - 48)
+        ay = rng.uniform(72, SIZE - 32)
+        if all((ax - ox) ** 2 + (ay - oy) ** 2 > 190.0**2 for ox, oy in occupied):
             break
     else:
         return None
     occupied.append((ax, ay))
+    keypoints.append((ax, ay))
 
     species = "bean" if rng.random() < 0.5 else "maize"
-    n_leaves = int(rng.integers(1, 9))
-    stem_h = rng.uniform(30, 70)
+    n_leaves = int(rng.integers(1, 7))
+    stem_h = rng.uniform(50, 110)
     lean = rng.uniform(-0.35, 0.35)
     tipx, tipy = ax + stem_h * math.sin(lean), ay - stem_h * math.cos(lean)
 
@@ -117,17 +124,26 @@ def _make_plant(d: ImageDraw.ImageDraw, rng, occupied):
 
     parts = [{"kind": "stem", "location": {"x": round(ax, 1), "y": round(ay, 1)}, "score": None}]
     for i in range(n_leaves):
-        # leaves fan out from points along the stem
-        t = rng.uniform(0.35, 1.0)
-        bx = ax + (tipx - ax) * t
-        by = ay + (tipy - ay) * t
-        side = 1.0 if (i % 2 == 0) else -1.0
-        ang = lean + side * rng.uniform(0.5, 1.5)
-        reach = rng.uniform(14, 34)
-        lx = bx + reach * math.sin(ang)
-        ly = by - reach * math.cos(ang) * rng.uniform(0.2, 0.9)
-        lx = float(np.clip(lx, 4, SIZE - 4))
-        ly = float(np.clip(ly, 4, SIZE - 4))
+        # leaves fan out from points along the stem; resample until the
+        # keypoint clears MIN_KP_DIST from every other keypoint so the
+        # task is resolvable at the detector's Gaussian/NMS scale
+        for _ in range(40):
+            t = rng.uniform(0.35, 1.0)
+            bx = ax + (tipx - ax) * t
+            by = ay + (tipy - ay) * t
+            side = 1.0 if (i % 2 == 0) else -1.0
+            ang = lean + side * rng.uniform(0.4, 1.6)
+            reach = rng.uniform(26, 60)
+            lx = bx + reach * math.sin(ang)
+            ly = by - reach * math.cos(ang) * rng.uniform(0.2, 0.9)
+            lx = float(np.clip(lx, 6, SIZE - 6))
+            ly = float(np.clip(ly, 6, SIZE - 6))
+            if all((lx - kx) ** 2 + (ly - ky) ** 2 >= MIN_KP_DIST**2
+                   for kx, ky in keypoints):
+                break
+        else:
+            continue  # no clear spot for this leaf: draw fewer
+        keypoints.append((lx, ly))
         d.line([bx, by, lx, ly], fill=stem_col, width=2)
         _draw_leaf(d, lx, ly, ang + math.pi / 2 * rng.uniform(0.7, 1.3), species, rng)
         parts.append({"kind": "leaf", "location": {"x": round(lx, 1), "y": round(ly, 1)}, "score": None})
@@ -146,13 +162,14 @@ def render_image(rng: np.random.Generator):
 
     objects = []
     occupied: list[tuple[float, float]] = []
+    keypoints: list[tuple[float, float]] = []
     total_parts = 0
-    for _ in range(int(rng.integers(2, 7))):
-        obj = _make_plant(d, rng, occupied)
+    for _ in range(int(rng.integers(2, 6))):
+        obj = _make_plant(d, rng, occupied, keypoints)
         if obj is None:
             continue
         n_leaf = len(obj["parts"]) - 1
-        if total_parts + n_leaf > 36:  # stay under the max_parts=40 budget
+        if total_parts + n_leaf > 30:  # stay under the max_parts=40 budget
             break
         total_parts += n_leaf
         objects.append(obj)
