@@ -1,0 +1,54 @@
+#!/usr/bin/env bash
+# Round-3 measurement battery: runs automatically once the flagship
+# training process (/tmp/train.pid) exits, so a dropped driver session
+# cannot strand the TPU idle. Each stage logs under _runs/ and failures
+# don't abort later stages.
+#
+# Stages (all on the real chip):
+#   1. accuracy gate  — evaluate CLI on the trained checkpoint, then
+#      convert_export + evaluate_export for float/.int8 .sdz modes;
+#      one F1 table with deltas (VERDICT r2 next-round #1 + #2).
+#   2. batch-1 latency breakdown (VERDICT #6).
+#   3. serving load test, percentile sweep over --max_batch (VERDICT #7).
+#   4. bench.py headline sanity run (driver runs it again at round end).
+#
+# Usage: tools/round3_post_train.sh [training_dir] (default: newest)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+TRAIN_DIR="${1:-$(ls -d trainings/*/ | sort | tail -1)}"
+CKPT="$TRAIN_DIR/model_best_classif.msgpack"
+DATA=_runs/synth512v3
+echo "[post] waiting for training ($(cat /tmp/train.pid 2>/dev/null || echo '?')) to finish; ckpt=$CKPT"
+
+while [ -f /tmp/train.pid ] && kill -0 "$(cat /tmp/train.pid)" 2>/dev/null; do
+  sleep 60
+done
+echo "[post] training done at $(date)"
+sleep 10  # let the final checkpoint writes settle
+
+echo "[post] stage 1: accuracy gate"
+timeout 5400 python tools/accuracy_gate.py "$CKPT" \
+  --valid_dir $DATA/valid --train_dir $DATA/train \
+  --labels labels.json --anchor_name stem \
+  --out _runs/eval/gate_v3.json \
+  > _runs/eval/gate_v3.log 2>&1
+echo "[post] gate exit=$?"
+
+echo "[post] stage 2: batch-1 breakdown"
+timeout 1800 python tools/bench_batch1.py --batch 1 --steps 200 \
+  > _runs/bench_batch1_r3.log 2>&1
+echo "[post] batch1 exit=$?"
+
+echo "[post] stage 3: load-test sweep"
+timeout 3600 python tools/load_test.py --load_model "$CKPT" \
+  --labels labels.json --anchor_name stem \
+  --clients 64 --duration 30 --sweep 8,32,128 \
+  --out _runs/load_test_r3.json \
+  > _runs/load_test_r3.log 2>&1
+echo "[post] load_test exit=$?"
+
+echo "[post] stage 4: bench.py headline"
+timeout 1800 python bench.py > _runs/bench_headline_r3.json 2>_runs/bench_headline_r3.log
+echo "[post] bench exit=$?"
+echo "[post] all stages done at $(date)"
