@@ -228,13 +228,26 @@ class Trainer:
         epochs, flush logs, checkpoint latest state each epoch."""
         from tqdm import tqdm
 
+        start_epoch = 0
         if self.config.resume_dir:
             if self.resume():
-                print(f"Resumed from step {int(self.state.step)}")
+                # Exact resume: skip the epochs already completed so the
+                # run finishes at --epochs total, not resume-point+epochs
+                # (optimizer/LR/step state is restored in resume()).
+                steps_per_epoch = max(1, len(self.train_loader))
+                start_epoch = min(
+                    int(self.state.step) // steps_per_epoch, self.config.epochs
+                )
+                print(
+                    f"Resumed from step {int(self.state.step)} "
+                    f"(epoch {start_epoch}/{self.config.epochs})"
+                )
 
         self._install_preemption_handlers()
         try:
-            for epoch in tqdm(range(self.config.epochs), desc="Training", unit="epoch"):
+            for epoch in tqdm(range(start_epoch, self.config.epochs),
+                              initial=start_epoch, total=self.config.epochs,
+                              desc="Training", unit="epoch"):
                 self.train_epoch(epoch)
                 if self._preempted:
                     self._preemption_save()

@@ -115,7 +115,10 @@ cfg = make_config(__import__("pathlib").Path({str(dataset_dirs)!r}), epochs=200)
 resume = sys.argv[1] if len(sys.argv) > 1 else None
 if resume:
     cfg.resume_dir = __import__("pathlib").Path(resume)
-    cfg.epochs = 1
+    # exact-resume semantics: completed epochs are skipped, so ask for
+    # one epoch more than the interrupted run finished (passed by the
+    # test) to train exactly one further epoch
+    cfg.epochs = int(sys.argv[2])
 trainer = Trainer(cfg, log=False)
 print("STARTED", trainer.save_dir, flush=True)
 trainer.train()
@@ -140,17 +143,24 @@ print("DONE", int(trainer.state.step), flush=True)
     interrupted_step = int(m.group(1))
     assert interrupted_step >= 1
 
-    # resume from the interrupted state
+    # resume from the interrupted state; train exactly one epoch past
+    # the last completed one (steps_per_epoch = 6 images / batch 2 = 3)
+    completed_epochs = interrupted_step // 3
     proc2 = subprocess.run(
-        [sys.executable, str(worker), save_dir], cwd=tmp_path, env=env,
-        capture_output=True, text=True, timeout=540,
+        [sys.executable, str(worker), save_dir, str(completed_epochs + 1)],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=540,
     )
     assert proc2.returncode == 0, proc2.stdout + proc2.stderr
-    m = re.search(r"Resumed from step (\d+)", proc2.stdout)
+    m = re.search(r"Resumed from step (\d+) \(epoch (\d+)/", proc2.stdout)
     assert m, f"no resume in output:\n{proc2.stdout}"
     assert int(m.group(1)) == interrupted_step
+    assert int(m.group(2)) == completed_epochs
     m = re.search(r"DONE (\d+)", proc2.stdout)
     assert m and int(m.group(1)) > interrupted_step
+    # exact-resume: completed epochs are skipped, so at most one more
+    # epoch's worth of steps runs (a partial epoch is re-run from its
+    # start — resume granularity is the epoch)
+    assert int(m.group(1)) <= interrupted_step + 3
 
 
 def test_batched_validation_matches_batch1(dataset_dirs, monkeypatch, tmp_path):
