@@ -64,8 +64,18 @@ def main(argv=None):
     loader = Loader(dataset, batch_size=meta.get("batch_size", 1),
                     num_workers=config.num_workers)
 
+    static_batch = None if meta.get("dynamic_batch") else meta.get("batch_size", 1)
     for batch in tqdm(loader, desc="Evaluation", unit="image"):
-        raw = call(jnp.asarray(batch["image"]))
+        images = jnp.asarray(batch["image"])
+        if static_batch is not None and images.shape[0] < static_batch:
+            # ragged final batch vs a static-shape artifact: pad with
+            # zero images, evaluate only the real rows below
+            pad = jnp.zeros(
+                (static_batch - images.shape[0],) + images.shape[1:],
+                images.dtype,
+            )
+            images = jnp.concatenate([images, pad])
+        raw = call(images)
         outputs = split_head_output(raw, config.n_labels, config.n_parts)
         data = decoder(outputs, return_metadata=True)
         for i, annotation in enumerate(batch["annotation"]):

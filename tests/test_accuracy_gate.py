@@ -23,7 +23,10 @@ pytestmark = pytest.mark.slow  # compile-heavy: CLI round trips
 def gate_env(tmp_path_factory):
     root = tmp_path_factory.mktemp("gate")
     write_dataset(root / "train", 4, seed=1)
-    write_dataset(root / "valid", 2, seed=2)
+    # 3 valid images with batch_size 2: the ragged final batch must be
+    # padded against static-shape .sdz artifacts (regression: the gate
+    # crashed on any valid set not divisible by the artifact batch)
+    write_dataset(root / "valid", 3, seed=2)
     (root / "labels.json").write_text(
         json.dumps({"labels": ["bean", "maize"], "parts": ["leaf"]})
     )
