@@ -16,16 +16,20 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-TRAIN_DIR="${1:-$(ls -d trainings/*/ | sort | tail -1)}"
-CKPT="$TRAIN_DIR/model_best_classif.msgpack"
 DATA=_runs/synth512v3
-echo "[post] waiting for training ($(cat /tmp/train.pid 2>/dev/null || echo '?')) to finish; ckpt=$CKPT"
+echo "[post] waiting for training ($(cat /tmp/train.pid 2>/dev/null || echo '?')) to finish"
 
 while [ -f /tmp/train.pid ] && kill -0 "$(cat /tmp/train.pid)" 2>/dev/null; do
   sleep 60
 done
 echo "[post] training done at $(date)"
 sleep 10  # let the final checkpoint writes settle
+
+# resolve the training dir AFTER the run finishes — it does not exist
+# when this watchdog is launched alongside the training process
+TRAIN_DIR="${1:-$(ls -d trainings/*/ | sort | tail -1)}"
+CKPT="$TRAIN_DIR/model_best_classif.msgpack"
+echo "[post] ckpt=$CKPT"
 
 echo "[post] stage 1: accuracy gate"
 timeout 5400 python tools/accuracy_gate.py "$CKPT" \
