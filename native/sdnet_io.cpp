@@ -313,46 +313,129 @@ void resize_normalize(const Image& img, int out_w, int out_h, bool hflip,
   }
 }
 
+// Decode the source image (full-resolution in exact mode, largest safe
+// DCT downscale in fast mode) and report the file's true size.
+bool decode_source(const char* path, int out_w, int out_h, bool exact,
+                   Image* img, int* orig_w, int* orig_h) {
+  const std::string p(path);
+  if (ends_with(p, ".png")) {
+    if (!decode_png(path, img)) return false;
+    if (orig_w) { *orig_w = img->w; *orig_h = img->h; }
+    return true;
+  }
+  // JPEG path reports the pre-scaled original size.
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  if (orig_w) { *orig_w = cinfo.image_width; *orig_h = cinfo.image_height; }
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  // exact mode decodes at full resolution (DCT-scaled decode changes
+  // pixels vs PIL's full decode); fast mode picks the largest safe
+  // DCT downscale.
+  return decode_jpeg(path, exact ? 0 : out_w, exact ? 0 : out_h, img);
+}
+
 bool load_one(const char* path, int out_w, int out_h, bool hflip, bool vflip,
               const float* mean, const float* stdv, float* out,
               int* orig_w, int* orig_h, bool exact) {
   Image img;
-  const std::string p(path);
-  bool ok = false;
-  if (ends_with(p, ".png")) {
-    ok = decode_png(path, &img);
-    if (ok && orig_w) { *orig_w = img.w; *orig_h = img.h; }
-  } else {
-    // JPEG path reports the pre-scaled original size.
-    FILE* f = std::fopen(path, "rb");
-    if (!f) return false;
-    jpeg_decompress_struct cinfo;
-    JpegErr jerr;
-    cinfo.err = jpeg_std_error(&jerr.mgr);
-    jerr.mgr.error_exit = jpeg_err_exit;
-    if (setjmp(jerr.jmp)) {
-      jpeg_destroy_decompress(&cinfo);
-      std::fclose(f);
-      return false;
-    }
-    jpeg_create_decompress(&cinfo);
-    jpeg_stdio_src(&cinfo, f);
-    jpeg_read_header(&cinfo, TRUE);
-    if (orig_w) { *orig_w = cinfo.image_width; *orig_h = cinfo.image_height; }
-    jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
-    // exact mode decodes at full resolution (DCT-scaled decode changes
-    // pixels vs PIL's full decode); fast mode picks the largest safe
-    // DCT downscale.
-    ok = decode_jpeg(path, exact ? 0 : out_w, exact ? 0 : out_h, &img);
-  }
-  if (!ok) return false;
+  if (!decode_source(path, out_w, out_h, exact, &img, orig_w, orig_h))
+    return false;
   if (exact) {
     Image resized;
     resample_pil(img, out_w, out_h, &resized);
     finalize_exact(resized, hflip, vflip, mean, stdv, out);
   } else {
     resize_normalize(img, out_w, out_h, hflip, vflip, mean, stdv, out);
+  }
+  return true;
+}
+
+// uint8 resampled image -> flipped uint8 copy (no float conversion).
+void finalize_u8(const Image& img, bool hflip, bool vflip, uint8_t* out) {
+  for (int oy = 0; oy < img.h; oy++) {
+    const int ty = vflip ? (img.h - 1 - oy) : oy;
+    uint8_t* dst = out + (size_t)oy * img.w * 3;
+    const uint8_t* src = img.data.data() + (size_t)ty * img.w * 3;
+    if (!hflip) {
+      std::memcpy(dst, src, (size_t)img.w * 3);
+      continue;
+    }
+    for (int ox = 0; ox < img.w; ox++) {
+      const uint8_t* s = src + (size_t)(img.w - 1 - ox) * 3;
+      dst[(size_t)ox * 3] = s[0];
+      dst[(size_t)ox * 3 + 1] = s[1];
+      dst[(size_t)ox * 3 + 2] = s[2];
+    }
+  }
+}
+
+// Fast-mode 2-tap bilinear resize + flip straight to uint8 (round to
+// nearest) — the uint8-feed analog of resize_normalize.
+void resize_u8(const Image& img, int out_w, int out_h, bool hflip,
+               bool vflip, uint8_t* out) {
+  const float sx = (float)img.w / out_w;
+  const float sy = (float)img.h / out_h;
+  for (int oy = 0; oy < out_h; oy++) {
+    const int ty = vflip ? (out_h - 1 - oy) : oy;
+    float fy = (ty + 0.5f) * sy - 0.5f;
+    fy = std::max(0.0f, std::min(fy, (float)img.h - 1));
+    const int y0 = (int)fy;
+    const int y1 = std::min(y0 + 1, img.h - 1);
+    const float wy = fy - y0;
+
+    uint8_t* dst = out + (size_t)oy * out_w * 3;
+    for (int ox = 0; ox < out_w; ox++) {
+      const int tx = hflip ? (out_w - 1 - ox) : ox;
+      float fx = (tx + 0.5f) * sx - 0.5f;
+      fx = std::max(0.0f, std::min(fx, (float)img.w - 1));
+      const int x0 = (int)fx;
+      const int x1 = std::min(x0 + 1, img.w - 1);
+      const float wx = fx - x0;
+
+      const uint8_t* p00 = img.data.data() + ((size_t)y0 * img.w + x0) * 3;
+      const uint8_t* p01 = img.data.data() + ((size_t)y0 * img.w + x1) * 3;
+      const uint8_t* p10 = img.data.data() + ((size_t)y1 * img.w + x0) * 3;
+      const uint8_t* p11 = img.data.data() + ((size_t)y1 * img.w + x1) * 3;
+
+      for (int ch = 0; ch < 3; ch++) {
+        const float top = p00[ch] + (p01[ch] - p00[ch]) * wx;
+        const float bot = p10[ch] + (p11[ch] - p10[ch]) * wx;
+        const float v = top + (bot - top) * wy;
+        const int q = (int)(v + 0.5f);
+        dst[ox * 3 + ch] = (uint8_t)(q < 0 ? 0 : (q > 255 ? 255 : q));
+      }
+    }
+  }
+}
+
+// uint8-output variant of load_one: raw resized pixels, no normalize —
+// the feed for on-device /255 + normalization (4x smaller host->device
+// transfer than the float32 feed).
+bool load_one_u8(const char* path, int out_w, int out_h, bool hflip,
+                 bool vflip, uint8_t* out, int* orig_w, int* orig_h,
+                 bool exact) {
+  Image img;
+  if (!decode_source(path, out_w, out_h, exact, &img, orig_w, orig_h))
+    return false;
+  if (exact) {
+    Image resized;
+    resample_pil(img, out_w, out_h, &resized);
+    finalize_u8(resized, hflip, vflip, out);
+  } else {
+    resize_u8(img, out_w, out_h, hflip, vflip, out);
   }
   return true;
 }
@@ -414,6 +497,54 @@ int sdnet_load_batch(const char** paths, int n, int out_w, int out_h,
   return good.load();
 }
 
-int sdnet_io_version() { return 2; }  // v2: exact (PIL-parity) mode arg
+// uint8-output variants: raw resized pixels (identical to the uint8
+// intermediate of the float path), no normalization — callers divide by
+// 255 and normalize on device. Signatures mirror the float versions
+// minus mean/std.
+int sdnet_load_image_u8(const char* path, int out_w, int out_h, int hflip,
+                        int vflip, uint8_t* out, int* orig_w, int* orig_h,
+                        int exact) {
+  return load_one_u8(path, out_w, out_h, hflip != 0, vflip != 0, out,
+                     orig_w, orig_h, exact != 0)
+             ? 1
+             : 0;
+}
+
+int sdnet_load_batch_u8(const char** paths, int n, int out_w, int out_h,
+                        const int* flips, uint8_t* out, int* orig_sizes,
+                        int* ok, int n_threads, int exact) {
+  if (n_threads <= 0) n_threads = 4;
+  n_threads = std::min(n_threads, n);
+  std::atomic<int> next(0), good(0);
+  const size_t stride = (size_t)out_w * out_h * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      const int i = next.fetch_add(1);
+      if (i >= n) return;
+      const bool hf = flips && flips[i * 2];
+      const bool vf = flips && flips[i * 2 + 1];
+      int ow = 0, oh = 0;
+      const int r = load_one_u8(paths[i], out_w, out_h, hf, vf,
+                                out + stride * i, &ow, &oh, exact != 0)
+                        ? 1
+                        : 0;
+      if (ok) ok[i] = r;
+      if (orig_sizes) {
+        orig_sizes[i * 2] = ow;
+        orig_sizes[i * 2 + 1] = oh;
+      }
+      if (r) good.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  threads.reserve(n_threads);
+  for (int t = 0; t < n_threads; t++) threads.emplace_back(worker);
+  for (auto& t : threads) t.join();
+  return good.load();
+}
+
+int sdnet_io_version() { return 3; }  // v3: uint8-output feed variants
 
 }  // extern "C"

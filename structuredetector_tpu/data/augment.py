@@ -196,6 +196,21 @@ class Raw01:
         return arr, target
 
 
+class RawU8:
+    """PIL -> uint8 HWC, untouched pixels — the compact feed for
+    on-device augmentation: /255 happens inside the jitted step, so the
+    host->device transfer is 4x smaller than Raw01's float32 (and
+    bit-identical to it after the bf16 compute cast)."""
+
+    def __call__(self, image, target=None):
+        arr = np.asarray(image, np.uint8)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        if target is None:
+            return arr
+        return arr, target
+
+
 class Flatten:
     """Terminal transform: annotation -> padded keypoint arrays
     (device-side rendering replaces the reference `Encode`)."""
@@ -221,18 +236,20 @@ class Flatten:
 
 def _native_load_and_flatten(
     config, paths, targets, size, normalize: bool, n_threads: int,
-    exact: bool = True,
+    exact: bool = True, u8: bool = False,
 ):
     """Whole-batch native path: one C++ call decodes/resizes/normalizes
     every image on its own thread pool into a contiguous NHWC buffer,
     then annotations are resized and flattened exactly like the PIL
-    path. Returns a collated batch dict."""
+    path. Returns a collated batch dict. u8=True yields the raw uint8
+    feed (normalize must be False; /255 runs on device)."""
     from . import native
     from .pipeline import FlatKeypoints
 
     w, h = size
     images, orig, ok = native.load_batch(
-        paths, w, h, n_threads=n_threads, normalize=normalize, exact=exact
+        paths, w, h, n_threads=n_threads, normalize=normalize, exact=exact,
+        dtype=np.uint8 if u8 else np.float32,
     )
     if not ok.all():
         bad = [str(p) for p, good in zip(paths, ok) if not good]
@@ -272,6 +289,7 @@ class TrainAugmentation:
         self.device_augment = (
             getattr(config, "device_augment", False) and not config.no_augmentation
         )
+        self.uint8_feed = False  # set True only in device-augment mode
         if config.no_augmentation:
             transforms = [
                 Resize((config.width, config.height)),
@@ -280,10 +298,13 @@ class TrainAugmentation:
             ]
         elif self.device_augment:
             # host only resizes; jitter/flips/normalize run on-device
-            # inside the train step (ops.device_augment)
+            # inside the train step (ops.device_augment). The default
+            # feed is raw uint8 (/255 on device, 4x less H2D traffic);
+            # --float_feed restores the float32 [0,1] feed.
+            self.uint8_feed = getattr(config, "uint8_feed", True)
             transforms = [
                 Resize((config.width, config.height)),
-                Raw01(),
+                RawU8() if self.uint8_feed else Raw01(),
                 Flatten(config),
             ]
         else:
@@ -315,6 +336,7 @@ class TrainAugmentation:
         arr, orig_size = native.load_image(
             image_path, w, h, normalize=False,
             exact=not getattr(cfg, "native_io_fast", False),
+            dtype=np.uint8 if self.uint8_feed else np.float32,
         )
         target.img_size = orig_size
         annotation = target.resized(orig_size, (w, h))
@@ -337,6 +359,7 @@ class TrainAugmentation:
             self.config, paths, targets, self.current_size,
             normalize=not self.device_augment, n_threads=n_threads,
             exact=not getattr(self.config, "native_io_fast", False),
+            u8=self.uint8_feed,
         )
 
     def trigger_random_resize(self):

@@ -45,9 +45,10 @@ def _load() -> Optional[ctypes.CDLL]:
         version = lib.sdnet_io_version()
     except AttributeError:
         version = 0
-    if version < 2:
-        # stale build without the exact-mode argument: treat as absent
-        # rather than crash mid-batch with a silent ABI mismatch
+    if version < 3:
+        # stale build without the exact-mode argument (v2) or the uint8
+        # feed variants (v3): treat as absent rather than crash
+        # mid-batch with a silent ABI mismatch
         _LIB = None
         return None
 
@@ -63,6 +64,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.sdnet_load_image_u8.restype = ctypes.c_int
+    lib.sdnet_load_image_u8.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+    ]
+    lib.sdnet_load_batch_u8.restype = ctypes.c_int
+    lib.sdnet_load_batch_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_uint8),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ctypes.c_int,
     ]
@@ -88,24 +102,35 @@ _RAW01_STD = np.ones(3, np.float32)
 
 def load_image(
     path, out_w: int, out_h: int, hflip: bool = False, vflip: bool = False,
-    normalize: bool = True, exact: bool = True,
+    normalize: bool = True, exact: bool = True, dtype=np.float32,
 ) -> Tuple[np.ndarray, Tuple[int, int]]:
     """Decode+resize one image -> ((out_h, out_w, 3) float32, original
     (w, h)). normalize=True applies ImageNet mean/std; False yields raw
-    [0, 1] (for on-device augmentation). exact=True is bit-identical
-    with the PIL host path (Pillow-semantics resample, full decode);
-    exact=False is the fast approximate path (DCT-scaled decode +
-    2-tap bilinear)."""
+    [0, 1] (for on-device augmentation). dtype=np.uint8 yields the raw
+    resized pixels with no float conversion at all (the 4x-smaller
+    host->device feed; /255 + normalize then run on device) — requires
+    normalize=False. exact=True is bit-identical with the PIL host path
+    (Pillow-semantics resample, full decode); exact=False is the fast
+    approximate path (DCT-scaled decode + 2-tap bilinear)."""
     lib = _load()
     assert lib is not None, "native IO library not built (make -C native)"
-    out = np.empty((out_h, out_w, 3), np.float32)
     ow, oh = ctypes.c_int(0), ctypes.c_int(0)
-    mean, std = (_MEAN, _STD) if normalize else (_RAW01_MEAN, _RAW01_STD)
-    r = lib.sdnet_load_image(
-        str(path).encode(), out_w, out_h, int(hflip), int(vflip),
-        _fptr(mean), _fptr(std), _fptr(out),
-        ctypes.byref(ow), ctypes.byref(oh), int(exact),
-    )
+    if dtype == np.uint8:
+        assert not normalize, "uint8 output is raw pixels (normalize=False)"
+        out = np.empty((out_h, out_w, 3), np.uint8)
+        r = lib.sdnet_load_image_u8(
+            str(path).encode(), out_w, out_h, int(hflip), int(vflip),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(ow), ctypes.byref(oh), int(exact),
+        )
+    else:
+        out = np.empty((out_h, out_w, 3), np.float32)
+        mean, std = (_MEAN, _STD) if normalize else (_RAW01_MEAN, _RAW01_STD)
+        r = lib.sdnet_load_image(
+            str(path).encode(), out_w, out_h, int(hflip), int(vflip),
+            _fptr(mean), _fptr(std), _fptr(out),
+            ctypes.byref(ow), ctypes.byref(oh), int(exact),
+        )
     if not r:
         raise IOError(f"native decode failed for {path}")
     return out, (ow.value, oh.value)
@@ -114,16 +139,17 @@ def load_image(
 def load_batch(
     paths: Sequence, out_w: int, out_h: int,
     flips: Optional[np.ndarray] = None, n_threads: int = 4,
-    normalize: bool = True, exact: bool = True,
+    normalize: bool = True, exact: bool = True, dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Threaded batch decode -> ((N, out_h, out_w, 3) float32,
     orig sizes (N, 2) int32, ok flags (N,) bool). normalize=True applies
     ImageNet mean/std; False yields raw [0, 1] pixels (the feed for
-    on-device augmentation). exact: see `load_image`."""
+    on-device augmentation); dtype=np.uint8 yields raw resized pixels
+    with no float conversion (4x-smaller host->device feed, requires
+    normalize=False). exact: see `load_image`."""
     lib = _load()
     assert lib is not None, "native IO library not built (make -C native)"
     n = len(paths)
-    out = np.empty((n, out_h, out_w, 3), np.float32)
     orig = np.zeros((n, 2), np.int32)
     ok = np.zeros((n,), np.int32)
     flips_arr = (
@@ -131,8 +157,21 @@ def load_batch(
         if flips is not None
         else np.zeros((n, 2), np.int32)
     )
-    mean, std = (_MEAN, _STD) if normalize else (_RAW01_MEAN, _RAW01_STD)
     c_paths = (ctypes.c_char_p * n)(*[str(p).encode() for p in paths])
+    if dtype == np.uint8:
+        assert not normalize, "uint8 output is raw pixels (normalize=False)"
+        out = np.empty((n, out_h, out_w, 3), np.uint8)
+        lib.sdnet_load_batch_u8(
+            c_paths, n, out_w, out_h,
+            flips_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            orig.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            n_threads, int(exact),
+        )
+        return out, orig, ok.astype(bool)
+    out = np.empty((n, out_h, out_w, 3), np.float32)
+    mean, std = (_MEAN, _STD) if normalize else (_RAW01_MEAN, _RAW01_STD)
     lib.sdnet_load_batch(
         c_paths, n, out_w, out_h,
         flips_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),

@@ -70,7 +70,14 @@ def make_train_step(
             # Augment in the compute dtype: inputs are uint8-derived, so
             # bf16 loses nothing, and the flip/jitter buffers (the whole
             # 512x512x3 batch, twice) halve their HBM traffic.
-            images = images.astype(model.dtype)
+            if images.dtype == jnp.uint8:
+                # uint8 feed (4x smaller H2D transfer): /255 in f32 then
+                # cast. Bit-identical to the float32 feed in bf16
+                # compute; in fp32, XLA's reciprocal-multiply rewrite
+                # leaves <=1-ulp input rounding (tests/test_train.py).
+                images = (images.astype(jnp.float32) / 255.0).astype(model.dtype)
+            else:
+                images = images.astype(model.dtype)
             key = jax.random.fold_in(jax.random.PRNGKey(config.seed), state.step)
             images, kp = device_augment(images, kp, key, out_w=out_w, out_h=out_h)
         targets = _encode_batch(kp, config, out_h, out_w)

@@ -239,3 +239,58 @@ def test_choose_batch_fetch_gating(tmp_path, rng):
     cfg_off = Config(width=32, height=32, native_io=False)
     cfg_off.set_labels(["bean"], ["leaf"])
     assert choose_batch_fetch(cfg_off, ds, val) is None
+
+
+def test_load_image_u8_exact_matches_raw01(png_file):
+    """uint8 feed: raw resized pixels; u8/255 in f32 must reproduce the
+    float raw01 output bit-for-bit (exact mode shares the uint8
+    resample intermediate)."""
+    u8, size_u8 = native.load_image(png_file, 70, 50, normalize=False,
+                                    dtype=np.uint8)
+    f32, size_f = native.load_image(png_file, 70, 50, normalize=False)
+    assert u8.dtype == np.uint8
+    assert size_u8 == size_f
+    np.testing.assert_array_equal(u8.astype(np.float32) / 255.0, f32)
+
+
+def test_load_image_u8_matches_pil_pixels(png_file):
+    """Exact-mode uint8 output == PIL's resized uint8 pixels."""
+    u8, _ = native.load_image(png_file, 33, 21, normalize=False,
+                              dtype=np.uint8)
+    pil = Image.open(png_file).convert("RGB").resize((33, 21), Image.BILINEAR)
+    np.testing.assert_array_equal(u8, np.asarray(pil, np.uint8))
+
+
+def test_load_image_u8_flips(png_file):
+    base, _ = native.load_image(png_file, 24, 18, normalize=False,
+                                dtype=np.uint8)
+    hf, _ = native.load_image(png_file, 24, 18, hflip=True,
+                              normalize=False, dtype=np.uint8)
+    vf, _ = native.load_image(png_file, 24, 18, vflip=True,
+                              normalize=False, dtype=np.uint8)
+    np.testing.assert_array_equal(hf, base[:, ::-1])
+    np.testing.assert_array_equal(vf, base[::-1])
+
+
+def test_load_batch_u8_matches_float(tmp_path, rng):
+    arr = (rng.random((40, 60, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "img.png"
+    Image.fromarray(arr).save(p)
+    u8, orig_u8, ok_u8 = native.load_batch(
+        [p, p], 48, 32, normalize=False, dtype=np.uint8)
+    f32, orig_f, ok_f = native.load_batch([p, p], 48, 32, normalize=False)
+    assert ok_u8.all() and ok_f.all()
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(orig_u8, orig_f)
+    np.testing.assert_array_equal(u8.astype(np.float32) / 255.0, f32)
+
+
+def test_load_image_u8_fast_mode_close_to_float(jpeg_file):
+    """Fast mode rounds the bilinear result to uint8 — within half a
+    pixel level of the float fast path."""
+    u8, _ = native.load_image(jpeg_file, 64, 48, normalize=False,
+                              exact=False, dtype=np.uint8)
+    f32, _ = native.load_image(jpeg_file, 64, 48, normalize=False,
+                               exact=False)
+    err = np.abs(u8.astype(np.float32) / 255.0 - f32).max()
+    assert err <= 0.5 / 255 + 1e-6

@@ -161,3 +161,50 @@ def test_train_step_with_device_augment():
     # different steps draw different augmentations -> different losses
     s3, stats3 = step(s2, images, kp)
     assert float(stats3["total_loss"]) != float(stats["total_loss"])
+
+
+def test_train_step_uint8_feed_bit_identical_bf16():
+    """The uint8 feed (raw pixels + on-device /255) must reproduce the
+    float32 [0,1] feed exactly in the flagship bf16 mode: XLA compiles
+    /255 as multiply-by-reciprocal (1-ulp f32 differences on ~half the
+    levels), but every u8 level rounds to the same bf16 either way, so
+    after the compute-dtype cast the two feeds are bit-identical."""
+    cfg = make_config(use_amp=True)
+    model, variables = init_model(cfg)
+    opt = make_optimizer(cfg, 10)
+    state = create_train_state(cfg, variables, opt)
+    step = make_train_step(model, cfg, opt, out_h=8, out_w=8, donate=False,
+                           augment=True)
+    _, kp = _batch(cfg)
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (2, cfg.height, cfg.width, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+
+    s_u8, stats_u8 = step(state, jnp.asarray(u8), kp)
+    s_f, stats_f = step(state, jnp.asarray(f32), kp)
+    assert float(stats_u8["total_loss"]) == float(stats_f["total_loss"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        s_u8.params, s_f.params,
+    )
+
+
+def test_train_step_uint8_feed_close_fp32():
+    """In fp32 (no-amp) mode the reciprocal-multiply rewrite leaves
+    1-ulp input differences that train-mode BatchNorm amplifies — the
+    step must still agree to float noise, not diverge."""
+    cfg = make_config()
+    model, variables = init_model(cfg)
+    opt = make_optimizer(cfg, 10)
+    state = create_train_state(cfg, variables, opt)
+    step = make_train_step(model, cfg, opt, out_h=8, out_w=8, donate=False,
+                           augment=True)
+    _, kp = _batch(cfg)
+    rng = np.random.default_rng(7)
+    u8 = rng.integers(0, 256, (2, cfg.height, cfg.width, 3), np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+
+    _, stats_u8 = step(state, jnp.asarray(u8), kp)
+    _, stats_f = step(state, jnp.asarray(f32), kp)
+    np.testing.assert_allclose(
+        float(stats_u8["total_loss"]), float(stats_f["total_loss"]), rtol=1e-3)
