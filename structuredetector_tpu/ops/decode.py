@@ -29,7 +29,7 @@ from .tensor import (
     clamped_sigmoid,
     gather_features,
     plateau_nms,
-    topk_per_class_pair,
+    topk_per_class,
 )
 
 
@@ -90,13 +90,19 @@ def decode_feature_maps(
         if with_metadata:
             anchor_hm_sig, part_hm_sig = anchor_hm, part_hm
 
-    # Anchors (decoders.py:44-57) + parts (decoders.py:60-75): both
-    # stage-1 extractions run in ONE max(K, P)-round scan over the
-    # concatenated channel axis (exact; see topk_per_class_pair).
-    (
-        (anchor_scores, anchor_inds, anchor_labels, anchor_ys, anchor_xs),
-        (part_scores, part_inds, part_labels, part_ys, part_xs),
-    ) = topk_per_class_pair(anchor_hm, part_hm, k, p)
+    # Anchors (decoders.py:44-57) + parts (decoders.py:60-75). Two
+    # separate extractions: fusing them into one max(K, P)-round scan
+    # over the concatenated channel axis was tried in round 3 and
+    # MEASURED SLOWER at every batch size (the parts scan drags the
+    # anchor channels through P-K extra masking rounds: batch-1 decode
+    # 0.52 -> 0.56 ms, batch-128 50 -> 65 us/img on v5e), so it was
+    # reverted. See DESIGN.md "Why the Pallas surface...".
+    anchor_scores, anchor_inds, anchor_labels, anchor_ys, anchor_xs = (
+        topk_per_class(anchor_hm, k)
+    )
+    part_scores, part_inds, part_labels, part_ys, part_xs = (
+        topk_per_class(part_hm, p)
+    )
 
     anchor_offs = gather_features(offsets_map, anchor_inds)
     anchor_xs = anchor_xs + anchor_offs[..., 0]

@@ -48,18 +48,27 @@ def plateau_nms(heatmaps: jax.Array, window: int = 5) -> jax.Array:
     return jnp.where(heatmaps == max_values, heatmaps, jnp.zeros_like(heatmaps))
 
 
-def _pick_tile(n: int) -> int:
-    """Largest power-of-two tile width S in [128, 512] with S*S' = n;
-    0 when the plane is too small/odd to be worth tiling."""
-    for s in (512, 256, 128):
-        if n % s == 0 and n // s >= 8:
-            return s
-    return 0
+def _topk_iterative(per_class: jax.Array, k: int):
+    """Top-k by k rounds of (argmax, mask out) over the full plane —
+    much cheaper than `lax.top_k`'s sort lowering on TPU for small k
+    (measured on v5e, (128, 3, 16K) fp32 plane, k=40: 45 vs 127 us/img).
+    Tie-breaking matches top_k/torch.topk: equal values selected in
+    ascending index order (pinned in tests/test_ops_tensor.py).
 
-
-def _topk_iterative_flat(per_class: jax.Array, k: int):
-    """k rounds of (argmax, mask) over the full plane. Fallback for
-    planes the tiled variant can't split."""
+    The whole-plane re-scan per round is deliberate. A two-level tiled
+    variant (argmax over T tile maxima, then inside the winning tile,
+    rewriting only that tile's row) promises O(T+S) traffic per round
+    instead of O(n) but was MEASURED SLOWER at every batch size
+    (batch-1 decode 0.52 -> 0.76 ms, batch-128 50 -> 405 us/img): the
+    per-round dynamic_update_slice lowers to a scatter per (batch,
+    class), which serializes, while the flat masked re-scan is pure
+    vectorized bandwidth the VPU streams at full rate. Round-3 commits
+    4579424/377304b introduced tiling + a fused anchor/part extraction
+    on the strength of dispatch-time-only measurements (through the
+    tunneled backend, block_until_ready can return before execution —
+    sync with a host transfer when timing); both were reverted on
+    synced measurements.
+    """
 
     def body(s, _):
         idx = jnp.argmax(s, axis=-1).astype(jnp.int32)  # (B, C)
@@ -71,60 +80,6 @@ def _topk_iterative_flat(per_class: jax.Array, k: int):
 
     _, (vals, inds) = lax.scan(body, per_class, None, length=k)
     # scan stacks on axis 0 -> (k, B, C); move k last
-    return jnp.moveaxis(vals, 0, -1), jnp.moveaxis(inds, 0, -1)
-
-
-def _topk_iterative(per_class: jax.Array, k: int):
-    """Top-k by k rounds of (argmax, mask out) — much cheaper than
-    `lax.top_k`'s sort lowering on TPU for small k over large planes
-    (measured ~6x on a 16K-pixel plane at k=20). Tie-breaking matches
-    top_k/torch.topk: equal values selected in ascending index order.
-
-    Two-level tiling: the plane is split into T tiles of S lanes; each
-    round argmaxes the T tile maxima, then the S lanes of the winning
-    tile, and only that tile's row is rewritten — O(T + S) traffic per
-    round instead of O(T * S) for the flat scan (64x less on the 16K
-    512x512 plane). Exactness incl. tie order is preserved: the first
-    tile whose max equals the global max is also the tile holding the
-    first global occurrence, and argmax picks first-occurrence inside
-    it (pinned against `lax.top_k` in tests/test_ops_tensor.py).
-    """
-    b, c, n = per_class.shape
-    s_width = _pick_tile(n)
-    if s_width == 0:
-        return _topk_iterative_flat(per_class, k)
-    t = n // s_width
-
-    tiles0 = per_class.reshape(b, c, t, s_width)
-    tmax0 = jnp.max(tiles0, axis=-1)  # (B, C, T)
-
-    def update_row(plane_bc, t_idx, row):
-        return lax.dynamic_update_slice_in_dim(plane_bc, row[None], t_idx, axis=0)
-
-    update_rows = jax.vmap(jax.vmap(update_row))  # over (B, C)
-
-    def body(carry, _):
-        tiles, tmax = carry
-        t_idx = jnp.argmax(tmax, axis=-1).astype(jnp.int32)  # (B, C)
-        row = jnp.take_along_axis(
-            tiles, t_idx[..., None, None], axis=2
-        )[:, :, 0, :]  # (B, C, S)
-        s_idx = jnp.argmax(row, axis=-1).astype(jnp.int32)  # (B, C)
-        val = jnp.take_along_axis(row, s_idx[..., None], axis=-1)[..., 0]
-        idx = t_idx * s_width + s_idx
-
-        new_row = jnp.where(
-            jax.nn.one_hot(s_idx, s_width, dtype=bool), -jnp.inf, row
-        )
-        tiles = update_rows(tiles, t_idx, new_row)
-        tmax = jnp.where(
-            jax.nn.one_hot(t_idx, t, dtype=bool),
-            jnp.max(new_row, axis=-1)[..., None],
-            tmax,
-        )
-        return (tiles, tmax), (val, idx)
-
-    _, (vals, inds) = lax.scan(body, (tiles0, tmax0), None, length=k)
     return jnp.moveaxis(vals, 0, -1), jnp.moveaxis(inds, 0, -1)
 
 
@@ -173,42 +128,6 @@ def topk_per_class(scores: jax.Array, k: int, iterative: bool = True):
     per_class = jnp.transpose(scores, (0, 3, 1, 2)).reshape(b, c, h * w)
     topk_scores, topk_inds = _stage1(per_class, k, iterative)
     return _topk_stage2(topk_scores, topk_inds, k, w, scores.dtype)
-
-
-def topk_per_class_pair(
-    scores_a: jax.Array, scores_b: jax.Array, k_a: int, k_b: int,
-    iterative: bool = True,
-):
-    """Two `topk_per_class` calls fused into ONE stage-1 extraction.
-
-    The decode path needs top-K anchors over M channels and top-P parts
-    over N channels of the same (B, H, W) grid; running them separately
-    serializes K + P extraction rounds. Here the channel axes are
-    concatenated and a single scan of max(K, P) rounds extracts both —
-    exact, because stage-1 rounds are independent per class and emit
-    values in descending order, so the first k rounds of a
-    max(K, P)-round scan ARE the k-round result for that class.
-
-    Returns the two (scores, inds, classes, ys, xs) tuples.
-    """
-    b, h, w, ca = scores_a.shape
-    cb = scores_b.shape[-1]
-    k = max(k_a, k_b)
-    per_class = jnp.concatenate(
-        (
-            jnp.transpose(scores_a, (0, 3, 1, 2)).reshape(b, ca, h * w),
-            jnp.transpose(scores_b, (0, 3, 1, 2)).reshape(b, cb, h * w),
-        ),
-        axis=1,
-    )
-    vals, inds = _stage1(per_class, k, iterative)
-    out_a = _topk_stage2(
-        vals[:, :ca, :k_a], inds[:, :ca, :k_a], k_a, w, scores_a.dtype
-    )
-    out_b = _topk_stage2(
-        vals[:, ca:, :k_b], inds[:, ca:, :k_b], k_b, w, scores_b.dtype
-    )
-    return out_a, out_b
 
 
 def gather_features(feat: jax.Array, inds: jax.Array) -> jax.Array:

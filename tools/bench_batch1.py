@@ -1,17 +1,15 @@
 """Batch-1 serving-latency breakdown: forward vs decode, and decode
 variants (VERDICT r2 #6).
 
-At batch 128 decode amortizes to ~17-19 us/img; at batch 1 the
-sequential k-round argmax scans (`ops.tensor._topk_iterative`: 20
-rounds for anchors + 40 for parts) do not amortize. This measures, on
-the real chip with scan-chained steps (same methodology as bench.py):
+Measures, on the real chip with scan-chained steps (same methodology
+as bench.py — in particular synced via a host transfer, because
+block_until_ready can return early through the tunneled backend):
 
   - forward only
   - forward + decode (e2e)
-  - decode only, split further into: sigmoid+NMS front, top-k scans,
-    association tail
-  - decode with the combined anchor+part top-k (one 40-round scan over
-    the concatenated channel axis instead of 20 + 40 sequential rounds)
+  - decode only, split further into: sigmoid+NMS front, the two
+    iterative top-k scans, and the lax.top_k sort lowering for
+    comparison
 
 Usage: python tools/bench_batch1.py [--batch 1] [--steps 200]
 """
@@ -100,29 +98,12 @@ def main():
         pp = topk_per_class(d["part_hm"], cfg.max_parts)
         return a[0].sum() + pp[0].sum()
 
-    def topk_pair(r):
-        from structuredetector_tpu.ops.tensor import topk_per_class_pair
-
+    def topk_sort(r):
+        """lax.top_k sort lowering, for comparison."""
         d = split_head_output(r, cfg.n_labels, cfg.n_parts)
-        a, pp = topk_per_class_pair(
-            d["anchor_hm"], d["part_hm"], cfg.max_objects, cfg.max_parts)
+        a = topk_per_class(d["anchor_hm"], cfg.max_objects, iterative=False)
+        pp = topk_per_class(d["part_hm"], cfg.max_parts, iterative=False)
         return a[0].sum() + pp[0].sum()
-
-    def topk_flat(r):
-        """The pre-r3 path: flat full-plane scans, two sequential."""
-        from structuredetector_tpu.ops.tensor import (
-            _topk_iterative_flat, _topk_stage2,
-        )
-
-        d = split_head_output(r, cfg.n_labels, cfg.n_parts)
-        out = []
-        for hm, kk in ((d["anchor_hm"], cfg.max_objects),
-                       (d["part_hm"], cfg.max_parts)):
-            b2, h2, w2, c2 = hm.shape
-            pc = jnp.transpose(hm, (0, 3, 1, 2)).reshape(b2, c2, h2 * w2)
-            v, i = _topk_iterative_flat(pc, kk)
-            out.append(_topk_stage2(v, i, kk, w2, hm.dtype))
-        return out[0][0].sum() + out[1][0].sum()
 
     results = {}
     for name, fn, inp in (
@@ -131,8 +112,7 @@ def main():
         ("decode", decode, raw),
         ("decode/front", front_only, raw),
         ("decode/topk", topk_only, raw),
-        ("decode/topk_pair", topk_pair, raw),
-        ("decode/topk_flat_r2", topk_flat, raw),
+        ("decode/topk_sort", topk_sort, raw),
     ):
         dt = timeit(chain(fn, args.steps), inp, args.steps)
         results[name] = dt
