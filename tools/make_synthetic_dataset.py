@@ -115,12 +115,45 @@ def _make_plant(d: ImageDraw.ImageDraw, rng, occupied, keypoints):
     lean = rng.uniform(-0.35, 0.35)
     tipx, tipy = ax + stem_h * math.sin(lean), ay - stem_h * math.cos(lean)
 
-    stem_col = (
-        (int(rng.uniform(70, 100)), int(rng.uniform(110, 140)), int(rng.uniform(35, 60)))
-        if species == "maize"
-        else (int(rng.uniform(80, 110)), int(rng.uniform(75, 105)), int(rng.uniform(30, 55)))
-    )
-    d.line([ax, ay, tipx, tipy], fill=stem_col, width=int(rng.uniform(3, 6)))
+    # Species-distinct stem GEOMETRY near the anchor, like real crops
+    # (maize: thick straight stalk; bean: thin curved stem). v3 drew
+    # near-identical stems for both species, so the anchor channels —
+    # which must classify the species at the stem base — could only
+    # lean on leaves 50-150 px away: the trained model split its
+    # confidence between the two species channels at the stem base and
+    # anchor recall@0.4 stalled at 7% while leaf F1 reached 92%
+    # (precision stayed 94%, i.e. peaks were right but under-confident).
+    # Color ranges still overlap so the label is not a color lookup.
+    if species == "maize":
+        stem_col = (int(rng.uniform(70, 100)), int(rng.uniform(110, 140)),
+                    int(rng.uniform(35, 60)))
+        w0 = rng.uniform(6, 9)  # thick stalk, slight taper
+        for t0, t1 in ((0.0, 0.5), (0.5, 1.0)):
+            d.line([ax + (tipx - ax) * t0, ay + (tipy - ay) * t0,
+                    ax + (tipx - ax) * t1, ay + (tipy - ay) * t1],
+                   fill=stem_col, width=int(w0 * (1.0 - 0.35 * t0)))
+    else:
+        stem_col = (int(rng.uniform(80, 110)), int(rng.uniform(75, 105)),
+                    int(rng.uniform(30, 55)))
+        # curved polyline: quadratic bend whose control point swings
+        # sideways, width 2-3
+        bend = rng.uniform(-22, 22)
+        nx, ny = math.cos(lean), math.sin(lean)  # stem normal
+        pts = []
+        for t in np.linspace(0.0, 1.0, 8):
+            px = ax + (tipx - ax) * t + bend * 2 * t * (1 - t) * nx
+            py = ay + (tipy - ay) * t + bend * 2 * t * (1 - t) * ny
+            pts.append((px, py))
+        d.line(pts, fill=stem_col, width=int(rng.uniform(2, 4)), joint="curve")
+
+    def stem_point(t: float) -> tuple[float, float]:
+        """Point on the drawn stem at parameter t (follows bean's bend)."""
+        px = ax + (tipx - ax) * t
+        py = ay + (tipy - ay) * t
+        if species == "bean":
+            px += bend * 2 * t * (1 - t) * nx
+            py += bend * 2 * t * (1 - t) * ny
+        return px, py
 
     parts = [{"kind": "stem", "location": {"x": round(ax, 1), "y": round(ay, 1)}, "score": None}]
     for i in range(n_leaves):
@@ -129,8 +162,7 @@ def _make_plant(d: ImageDraw.ImageDraw, rng, occupied, keypoints):
         # task is resolvable at the detector's Gaussian/NMS scale
         for _ in range(40):
             t = rng.uniform(0.35, 1.0)
-            bx = ax + (tipx - ax) * t
-            by = ay + (tipy - ay) * t
+            bx, by = stem_point(t)
             side = 1.0 if (i % 2 == 0) else -1.0
             ang = lean + side * rng.uniform(0.4, 1.6)
             reach = rng.uniform(26, 60)
@@ -148,8 +180,10 @@ def _make_plant(d: ImageDraw.ImageDraw, rng, occupied, keypoints):
         _draw_leaf(d, lx, ly, ang + math.pi / 2 * rng.uniform(0.7, 1.3), species, rng)
         parts.append({"kind": "leaf", "location": {"x": round(lx, 1), "y": round(ly, 1)}, "score": None})
 
-    # anchor marker: small dark node at the stem base
-    d.ellipse([ax - 4, ay - 4, ax + 4, ay + 4],
+    # anchor marker: dark node at the stem base, sized with the stem
+    # (maize stalk base is visibly broader than bean's)
+    r = 5.5 if species == "maize" else 3.5
+    d.ellipse([ax - r, ay - r, ax + r, ay + r],
               fill=tuple(max(0, c - 35) for c in stem_col))
     return {"label": species, "box": None, "parts": parts}
 
