@@ -16,7 +16,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-DATA=_runs/synth512v3
+DATA=${DATA:-_runs/synth512v4}
 echo "[post] waiting for training ($(cat /tmp/train.pid 2>/dev/null || echo '?')) to finish"
 
 while [ -f /tmp/train.pid ] && kill -0 "$(cat /tmp/train.pid)" 2>/dev/null; do
@@ -28,16 +28,22 @@ sleep 10  # let the final checkpoint writes settle
 # resolve the training dir AFTER the run finishes — it does not exist
 # when this watchdog is launched alongside the training process
 TRAIN_DIR="${1:-$(ls -d trainings/*/ | sort | tail -1)}"
-CKPT="$TRAIN_DIR/model_best_classif.msgpack"
-echo "[post] ckpt=$CKPT"
+echo "[post] train_dir=$TRAIN_DIR"
 
-echo "[post] stage 1: accuracy gate"
-timeout 5400 python tools/accuracy_gate.py "$CKPT" \
-  --valid_dir $DATA/valid --train_dir $DATA/train \
-  --labels labels.json --anchor_name stem \
-  --out _runs/eval/gate_v3.json \
-  > _runs/eval/gate_v3.log 2>&1
-echo "[post] gate exit=$?"
+# Gate BOTH conditional checkpoints: model_best_classif is the
+# reference's pick (README.md:27-30) but tracks a metric that only
+# moves once anchors classify; model_best_kp_reg tracks total keypoint
+# F1 and is the best overall detector if classification stalls.
+for NAME in classif kp_reg; do
+  CKPT="$TRAIN_DIR/model_best_$NAME.msgpack"
+  echo "[post] stage 1: accuracy gate ($NAME)"
+  timeout 5400 python tools/accuracy_gate.py "$CKPT" \
+    --valid_dir $DATA/valid --train_dir $DATA/train \
+    --labels labels.json --anchor_name stem \
+    --out _runs/eval/gate_${NAME}.json \
+    > _runs/eval/gate_${NAME}.log 2>&1
+  echo "[post] gate($NAME) exit=$?"
+done
 
 echo "[post] stage 2: batch-1 breakdown"
 timeout 1800 python tools/bench_batch1.py --batch 1 --steps 200 \
@@ -45,6 +51,7 @@ timeout 1800 python tools/bench_batch1.py --batch 1 --steps 200 \
 echo "[post] batch1 exit=$?"
 
 echo "[post] stage 3: load-test sweep"
+CKPT="$TRAIN_DIR/model_best_kp_reg.msgpack"
 timeout 3600 python tools/load_test.py --load_model "$CKPT" \
   --labels labels.json --anchor_name stem \
   --clients 64 --duration 30 --sweep 8,32,128 \
