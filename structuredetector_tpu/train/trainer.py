@@ -73,6 +73,29 @@ class MetricsWriter:
             self._w.close()
 
 
+def host_rss_mb() -> float:
+    """Resident set size of this process in MB (0.0 if unreadable).
+
+    Logged per epoch ("Host/rss_mb"): long multi-scale runs through
+    tunneled single-controller backends show steady client-side host
+    growth (~200-400 MB/epoch, ROADMAP.md "Performance") that our own
+    pipeline does not account for — per-epoch telemetry localizes it on
+    any deployment without attaching a profiler."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return float(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    try:
+        import resource
+
+        return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    except Exception:
+        return 0.0
+
+
 class Trainer:
     def __init__(self, config, log: bool = True):
         self.config = config
@@ -321,6 +344,7 @@ class Trainer:
             "Learning rate", float(self.lr_schedule(int(self.state.step))),
             self.global_step,
         )
+        self.writer.scalar("Host/rss_mb", host_rss_mb(), self.global_step)
         # multi-scale re-roll for next epoch (trainer.py:135)
         self.train_augmentation.trigger_random_resize()
 

@@ -234,3 +234,13 @@ def test_average_meter_and_seed():
     assert m.avg == 2.0 and m.count == 2
     key = set_seed(123)
     assert key is not None
+
+
+def test_host_rss_mb():
+    """Per-epoch host telemetry: positive on Linux, never raises."""
+    from structuredetector_tpu.train.trainer import host_rss_mb
+
+    rss = host_rss_mb()
+    assert rss >= 0.0
+    # this test process certainly holds more than 10 MB resident
+    assert rss > 10.0
