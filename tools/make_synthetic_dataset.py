@@ -136,7 +136,10 @@ def _make_plant(d: ImageDraw.ImageDraw, rng, occupied, keypoints):
         stem_col = (int(rng.uniform(80, 110)), int(rng.uniform(75, 105)),
                     int(rng.uniform(30, 55)))
         # curved polyline: quadratic bend whose control point swings
-        # sideways, width 2-3
+        # sideways; sturdier near the base than v4 (width 3-5) — the v4
+        # probe showed bean stem *detection* (channel-sum >= 0.4) at only
+        # 71% vs maize's 91%, i.e. thin 2-3 px stems were partly a
+        # visibility problem, not just a classification one
         bend = rng.uniform(-22, 22)
         nx, ny = math.cos(lean), math.sin(lean)  # stem normal
         pts = []
@@ -144,7 +147,25 @@ def _make_plant(d: ImageDraw.ImageDraw, rng, occupied, keypoints):
             px = ax + (tipx - ax) * t + bend * 2 * t * (1 - t) * nx
             py = ay + (tipy - ay) * t + bend * 2 * t * (1 - t) * ny
             pts.append((px, py))
-        d.line(pts, fill=stem_col, width=int(rng.uniform(2, 4)), joint="curve")
+        d.line(pts, fill=stem_col, width=int(rng.uniform(3, 5)), joint="curve")
+        # v5: cotyledon pair at the stem base — the dicot's first two
+        # seed leaves, which maize (a monocot) never has. The v4 probe
+        # showed bean anchors still SPLIT species confidence at the stem
+        # base (own-channel median 0.236 vs best-other 0.29) because the
+        # curved-vs-straight stem cue is weak at the detector's stride-4
+        # scale; cotyledons are real crops' local species evidence.
+        # Small (r 4-6, below the annotated-leaf size range 16-30) and
+        # darker than true leaves so they do not read as leaf keypoints.
+        cot_col = (int(rng.uniform(20, 45)), int(rng.uniform(75, 110)),
+                   int(rng.uniform(20, 45)))
+        for side in (-1.0, 1.0):
+            coff = rng.uniform(8, 14)
+            cx = ax + side * coff * nx + rng.uniform(-2, 2)
+            cy = ay + side * coff * ny - rng.uniform(2, 7)
+            cr = rng.uniform(4, 6)
+            d.ellipse([cx - cr, cy - cr * 0.8, cx + cr, cy + cr * 0.8],
+                      fill=cot_col,
+                      outline=tuple(max(0, c - 20) for c in cot_col))
 
     def stem_point(t: float) -> tuple[float, float]:
         """Point on the drawn stem at parameter t (follows bean's bend)."""
