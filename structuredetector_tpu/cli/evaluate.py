@@ -26,7 +26,6 @@ def main(argv=None):
 
     from ..data.pipeline import choose_batch_fetch
 
-    evaluator = Evaluator(config)
     augmentation = ValidationAugmentation(config)
     dataset = CropDataset(config, config.valid_dir, augmentation)
     loader = Loader(dataset, batch_size=config.eval_batch_size,
@@ -38,19 +37,40 @@ def main(argv=None):
     decoder = Decoder(config)
     forward = make_forward(model)
 
+    # --conf_sweep: the forward pass (which dominates eval cost) runs
+    # once; the fixed-shape device decode + host metric accumulation
+    # repeat per threshold. One metric table per threshold replaces N
+    # full eval runs when picking a deployment operating point.
+    thresholds = config.conf_sweep or (config.conf_threshold,)
+    evaluators = {t: Evaluator(config) for t in thresholds}
+
     for batch in tqdm(loader, desc="Evaluation", unit="batch"):
         outputs = forward(variables, jnp.asarray(batch["image"]))
-        data = decoder(outputs, return_metadata=True)
-        for i, annotation in enumerate(batch["annotation"]):
-            evaluator.accumulate(
-                data["annotation"][i],
-                annotation,
-                data["raw_parts"][i],
-                eval_csi=True,
-                eval_classif=True,
-            )
+        for t, evaluator in evaluators.items():
+            data = decoder(outputs, conf_thresh=t, return_metadata=True)
+            for i, annotation in enumerate(batch["annotation"]):
+                evaluator.accumulate(
+                    data["annotation"][i],
+                    annotation,
+                    data["raw_parts"][i],
+                    eval_csi=True,
+                    eval_classif=True,
+                )
 
-    evaluator.pretty_print()
+    evaluator = evaluators[thresholds[0]]
+    if config.conf_sweep:
+        for t, ev in evaluators.items():
+            s = ev.scalar_summary()
+            print(
+                f"conf={t:g}: "
+                f"anchor F1 {s.get('anchor/f1_total', 0.0):.4f}  "
+                f"part F1 {s.get('part/f1_total', 0.0):.4f}  "
+                f"kps F1 {s.get('kps/f1_total', 0.0):.4f}  "
+                f"csi F1 {s.get('csi/f1_total', 0.0):.4f}  "
+                f"classif F1 {s.get('classif/f1_total', 0.0):.4f}"
+            )
+    else:
+        evaluator.pretty_print()
     if config.csv_path is not None:
         evaluator.save_kps_csv(config.csv_path)
     if config.summary_path is not None:
@@ -58,9 +78,12 @@ def main(argv=None):
 
         from pathlib import Path
 
-        Path(config.summary_path).write_text(
-            json.dumps(evaluator.scalar_summary(), indent=2)
+        summary = (
+            {f"{t:g}": ev.scalar_summary() for t, ev in evaluators.items()}
+            if config.conf_sweep
+            else evaluator.scalar_summary()
         )
+        Path(config.summary_path).write_text(json.dumps(summary, indent=2))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,10 @@ class Config:
     csi_threshold: float = 0.75
     csv_path: Optional[Path] = None
     summary_path: Optional[Path] = None
+    # evaluate-only: re-decode the same forward outputs at each of these
+    # confidence thresholds (one pass over the dataset, one metric table
+    # per threshold) — deployment threshold selection without N eval runs
+    conf_sweep: Optional[Tuple[float, ...]] = None
 
     # precision: "--amp" in the reference enables autocast; on TPU the
     # native mixed precision is bf16 compute + fp32 params, which is the
@@ -194,6 +198,11 @@ class Config:
         assert 0 <= self.conf_threshold <= 1
         assert 0 <= self.dist_threshold <= 1
         assert 0 <= self.decoder_dist_thresh <= 1
+        if self.conf_sweep is not None:
+            assert self.conf_sweep, "--conf_sweep needs at least one threshold"
+            assert all(0 <= t <= 1 for t in self.conf_sweep), (
+                f"--conf_sweep thresholds must be in [0, 1]: {self.conf_sweep}"
+            )
         assert 0 <= self.csi_threshold <= 1
         assert 0 < self.sigma_gauss <= 1
         if self.hm_loss_fn.lower() not in {"focal", "mse"}:
@@ -311,6 +320,11 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--save_csv_eval", dest="csv_path", type=Path, default=None)
     p.add_argument("--save_summary", dest="summary_path", type=Path, default=None,
                    help="Write the flat metric summary (scalar_summary) as JSON.")
+    p.add_argument("--conf_sweep", type=str, default=None,
+                   help="evaluate only: comma-separated confidence thresholds "
+                        "(e.g. 0.2,0.3,0.4); the dataset is forwarded ONCE and "
+                        "re-decoded per threshold, printing one metric row "
+                        "each — deployment threshold selection in one run.")
     p.add_argument("--amp", action="store_true", dest="amp_flag",
                    help="Mixed precision (bf16 compute) — the TPU default, so this "
                         "flag confirms it; conflicts with --no_amp.")
@@ -410,6 +424,10 @@ def config_from_args(argv=None) -> Config:
         csi_threshold=ns.csi_threshold,
         csv_path=ns.csv_path,
         summary_path=ns.summary_path,
+        conf_sweep=(
+            tuple(float(t) for t in ns.conf_sweep.split(","))
+            if ns.conf_sweep else None
+        ),
         use_amp=not ns.no_amp,
         data_parallel=ns.data_parallel,
         model_parallel=ns.model_parallel,

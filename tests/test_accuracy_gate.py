@@ -58,6 +58,31 @@ def test_evaluate_cli_save_summary(gate_env, tmp_path):
         assert f"{fam}/csi_total" in s
 
 
+def test_evaluate_cli_conf_sweep(gate_env, tmp_path):
+    """--conf_sweep: one forward pass, per-threshold summaries; at the
+    same threshold the sweep path must reproduce the single-run path
+    exactly (same decode + accumulation, just looped)."""
+    from structuredetector_tpu.cli import evaluate
+
+    root, ckpt = gate_env
+    base_args = [
+        "--valid_dir", str(root / "valid"), "--load_model", str(ckpt),
+        "--labels", str(root / "labels.json"), "--anchor_name", "stem",
+        "--width", "32", "--height", "32", "--fpn_depth", "16",
+        "--max_objects", "4", "--max_parts", "8", "--no_amp",
+    ]
+    single = tmp_path / "single.json"
+    evaluate.main(base_args + ["--conf_threshold", "0.5",
+                               "--save_summary", str(single)])
+    swept = tmp_path / "swept.json"
+    evaluate.main(base_args + ["--conf_sweep", "0.5,0.3",
+                               "--save_summary", str(swept)])
+    s_single = json.loads(single.read_text())
+    s_swept = json.loads(swept.read_text())
+    assert set(s_swept) == {"0.5", "0.3"}
+    assert s_swept["0.5"] == s_single
+
+
 def test_accuracy_gate_driver(gate_env, tmp_path, monkeypatch):
     """Full driver: 4 modes through the real CLIs, one table out."""
     sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))

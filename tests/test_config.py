@@ -159,3 +159,15 @@ def test_find_imagenet_resnet34_search(tmp_path, monkeypatch):
     monkeypatch.setenv("SDNET_PRETRAINED", str(tmp_path / "missing.pth"))
     with pytest.raises(FileNotFoundError, match="SDNET_PRETRAINED"):
         find_imagenet_resnet34()
+
+
+def test_conf_sweep_parses_and_validates(tmp_path):
+    labels = tmp_path / "labels.json"
+    labels.write_text(json.dumps({"labels": ["bean", "maize"], "parts": ["leaf"]}))
+    base = ["--train_dir", str(tmp_path), "--labels", str(labels),
+            "--anchor_name", "stem"]
+    cfg = config_from_args(base + ["--conf_sweep", "0.2,0.3,0.45"])
+    assert cfg.conf_sweep == (0.2, 0.3, 0.45)
+    assert config_from_args(base).conf_sweep is None
+    with pytest.raises(AssertionError, match="conf_sweep"):
+        config_from_args(base + ["--conf_sweep", "0.2,1.5"])
