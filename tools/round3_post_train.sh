@@ -16,7 +16,7 @@
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-DATA=${DATA:-_runs/synth512v4}
+DATA=${DATA:-_runs/synth512v5}
 echo "[post] waiting for training ($(cat /tmp/train.pid 2>/dev/null || echo '?')) to finish"
 
 while [ -f /tmp/train.pid ] && kill -0 "$(cat /tmp/train.pid)" 2>/dev/null; do
@@ -44,6 +44,17 @@ for NAME in classif kp_reg; do
     > _runs/eval/gate_${NAME}.log 2>&1
   echo "[post] gate($NAME) exit=$?"
 done
+
+# Per-species anchor-confidence probe (window-max sigmoid at GT stem
+# locations): localizes whether each species' own channel dominates at
+# its anchors — the diagnostic that drove datasets v4 and v5.
+echo "[post] stage 1.5: per-species anchor probe"
+timeout 1800 python tools/probe_anchor_conf.py \
+  "$TRAIN_DIR/model_best_kp_reg.msgpack" \
+  --valid_dir $DATA/valid --labels labels.json --anchor_name stem \
+  --out _runs/eval/probe_anchor.json \
+  > _runs/eval/probe_anchor.log 2>&1
+echo "[post] probe exit=$?"
 
 echo "[post] stage 2: batch-1 breakdown"
 timeout 1800 python tools/bench_batch1.py --batch 1 --steps 200 \
