@@ -9,6 +9,14 @@ Note: under the tunneled test backend each dispatch carries a fixed
 ~20-30 ms latency floor, so absolute numbers are pessimistic; the
 fp32-vs-uint8 delta isolates the transfer-size effect.
 """
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_REPO_ROOT = str(_Path(__file__).resolve().parents[1])
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)  # run as `python tools/x.py` without install
+
 import sys
 import time
 

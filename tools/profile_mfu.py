@@ -1,4 +1,12 @@
 """Profile forward + train step on the TPU: time, FLOPs, MFU."""
+
+import sys as _sys
+from pathlib import Path as _Path
+
+_REPO_ROOT = str(_Path(__file__).resolve().parents[1])
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)  # run as `python tools/x.py` without install
+
 import time, json, sys
 import jax, jax.numpy as jnp
 from jax import lax

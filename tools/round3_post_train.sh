@@ -15,6 +15,8 @@
 # Usage: tools/round3_post_train.sh [training_dir] (default: newest)
 set -uo pipefail
 cd "$(dirname "$0")/.."
+# tools are run as `python tools/x.py`; make the package importable regardless
+export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 
 DATA=${DATA:-_runs/synth512v5}
 echo "[post] waiting for training ($(cat /tmp/train.pid 2>/dev/null || echo '?')) to finish"

@@ -6,6 +6,14 @@ Usage: python tools/tb_dump.py trainings/<ts>/tb [--tags kps/f1_total ...]
 
 from __future__ import annotations
 
+import sys as _sys
+from pathlib import Path as _Path
+
+_REPO_ROOT = str(_Path(__file__).resolve().parents[1])
+if _REPO_ROOT not in _sys.path:
+    _sys.path.insert(0, _REPO_ROOT)  # run as `python tools/x.py` without install
+
+
 import argparse
 from pathlib import Path
 
