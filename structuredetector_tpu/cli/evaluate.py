@@ -59,8 +59,8 @@ def main(argv=None):
 
     evaluator = evaluators[thresholds[0]]
     if config.conf_sweep:
-        for t, ev in evaluators.items():
-            s = ev.scalar_summary()
+        summaries = {t: ev.scalar_summary() for t, ev in evaluators.items()}
+        for t, s in summaries.items():
             print(
                 f"conf={t:g}: "
                 f"anchor F1 {s.get('anchor/f1_total', 0.0):.4f}  "
@@ -69,6 +69,17 @@ def main(argv=None):
                 f"csi F1 {s.get('csi/f1_total', 0.0):.4f}  "
                 f"classif F1 {s.get('classif/f1_total', 0.0):.4f}"
             )
+        # Operating-point readout: the sweep exists to pick a deployment
+        # threshold (the reference's own --conf_threshold knob; its
+        # published eval uses 0.4 vs the 0.5 arg default). Flag the
+        # argmax per headline family so the pick doesn't require reading
+        # the table; ties resolve to the earliest threshold listed.
+        for fam in ("kps", "anchor"):
+            best = max(thresholds,
+                       key=lambda t: summaries[t].get(f"{fam}/f1_total", 0.0))
+            print(f"best {fam} F1: "
+                  f"{summaries[best].get(f'{fam}/f1_total', 0.0):.4f} "
+                  f"at conf={best:g}")
     else:
         evaluator.pretty_print()
     if config.csv_path is not None:

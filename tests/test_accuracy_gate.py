@@ -58,7 +58,7 @@ def test_evaluate_cli_save_summary(gate_env, tmp_path):
         assert f"{fam}/csi_total" in s
 
 
-def test_evaluate_cli_conf_sweep(gate_env, tmp_path):
+def test_evaluate_cli_conf_sweep(gate_env, tmp_path, capsys):
     """--conf_sweep: one forward pass, per-threshold summaries; at the
     same threshold the sweep path must reproduce the single-run path
     exactly (same decode + accumulation, just looped)."""
@@ -81,6 +81,17 @@ def test_evaluate_cli_conf_sweep(gate_env, tmp_path):
     s_swept = json.loads(swept.read_text())
     assert set(s_swept) == {"0.5", "0.3"}
     assert s_swept["0.5"] == s_single
+
+    # operating-point readout: the printed argmax must agree with the
+    # saved summaries (ties resolve to the earliest threshold listed)
+    out = capsys.readouterr().out
+    for fam in ("kps", "anchor"):
+        best = max(("0.5", "0.3"),
+                   key=lambda t: s_swept[t].get(f"{fam}/f1_total", 0.0))
+        expect = (f"best {fam} F1: "
+                  f"{s_swept[best].get(f'{fam}/f1_total', 0.0):.4f} "
+                  f"at conf={float(best):g}")
+        assert expect in out, f"missing/incorrect line: {expect!r}\n{out}"
 
 
 def test_accuracy_gate_driver(gate_env, tmp_path, monkeypatch):
