@@ -29,8 +29,16 @@ sleep 10  # let the final checkpoint writes settle
 
 # resolve the training dir AFTER the run finishes — it does not exist
 # when this watchdog is launched alongside the training process
-TRAIN_DIR="${1:-$(ls -d trainings/*/ | sort | tail -1)}"
+TRAIN_DIR="${1:-$(ls -d trainings/*/ 2>/dev/null | sort | tail -1)}"
 echo "[post] train_dir=$TRAIN_DIR"
+
+# If training died before writing any checkpoint (e.g. a backend-init
+# failure: the tunneled TPU is single-client, so a concurrent JAX
+# process kills startup), bail out instead of gating against nothing.
+if [ -z "$TRAIN_DIR" ] || [ ! -f "$TRAIN_DIR/model_best_kp_reg.msgpack" ]; then
+  echo "[post] FATAL: no checkpoint under '${TRAIN_DIR:-<none>}' — training failed; aborting battery"
+  exit 1
+fi
 
 # Gate BOTH conditional checkpoints: model_best_classif is the
 # reference's pick (README.md:27-30) but tracks a metric that only

@@ -30,6 +30,7 @@ if [ -n "$BATTERY_PID" ]; then
 fi
 echo "[s2] battery done at $(date)"
 
+PRE_SEEDB_DIR="$(ls -d trainings/*/ 2>/dev/null | sort | tail -1)"
 echo "[s2] stage 1: seed-B flagship run (seed=$SEED_B, eval_batch_size=8)"
 python -m structuredetector_tpu.cli.train \
   --train_dir $DATA/train --valid_dir $DATA/valid \
@@ -42,9 +43,17 @@ wait $TRAIN_PID
 echo "[s2] seed-B training exit=$? at $(date)"
 sleep 10
 
-TRAIN_DIR="$(ls -d trainings/*/ | sort | tail -1)"
+TRAIN_DIR="$(ls -d trainings/*/ 2>/dev/null | sort | tail -1)"
 echo "[s2] stage 2: accuracy gate on $TRAIN_DIR"
-timeout 5400 python tools/accuracy_gate.py "$TRAIN_DIR/model_best_kp_reg.msgpack" \
+# guard: only gate a directory the seed-B run actually produced — if its
+# training crashed, the newest dir is seed-A's and gating it would
+# silently duplicate the battery's numbers under a seed-B filename.
+if [ -z "$TRAIN_DIR" ] || [ "$TRAIN_DIR" = "$PRE_SEEDB_DIR" ] || \
+   [ ! -f "$TRAIN_DIR/model_best_kp_reg.msgpack" ]; then
+  echo "[s2] FATAL: no new seed-B checkpoint (newest='$TRAIN_DIR', pre-run='$PRE_SEEDB_DIR'); skipping gate"
+  TRAIN_DIR=""
+fi
+[ -n "$TRAIN_DIR" ] && timeout 5400 python tools/accuracy_gate.py "$TRAIN_DIR/model_best_kp_reg.msgpack" \
   --valid_dir $DATA/valid --train_dir $DATA/train \
   --labels labels.json --anchor_name stem \
   --out _runs/eval/gate_seedB_kp_reg.json \
