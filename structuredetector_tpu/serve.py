@@ -21,6 +21,7 @@ import json
 import queue
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -65,14 +66,35 @@ class MicroBatcher:
         self._lock = threading.Lock()  # orders submit() vs close()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
-        # observability: how many device calls served how many images
+        # observability: how many device calls served how many images,
+        # and a sliding window of per-request latencies (submit -> done,
+        # so queueing + batching window + device time) for /healthz
+        # percentiles. deque.append is atomic under the GIL; readers
+        # snapshot via list().
         self.batches_run = 0
         self.images_run = 0
+        self._latencies: "deque[float]" = deque(maxlen=2048)
 
     @property
     def queue_depth(self) -> int:
         """Images waiting for a device batch (approximate, lock-free)."""
         return self._queue.qsize()
+
+    def latency_stats(self) -> dict:
+        """p50/p95/p99 over the last ≤2048 served requests, in ms.
+
+        Covers the full server-side path (queue wait + batching window +
+        device forward + decode); nearest-rank percentiles."""
+        lats = sorted(self._latencies)
+        if not lats:
+            return {"count": 0}
+        n = len(lats)
+
+        def pct(p: float) -> float:
+            return round(lats[min(n - 1, int(round(p * (n - 1))))] * 1e3, 3)
+
+        return {"count": n, "p50_ms": pct(0.50), "p95_ms": pct(0.95),
+                "p99_ms": pct(0.99)}
 
     def submit(self, image: Image.Image, timeout: Optional[float] = None):
         """Blocks until the batcher has a result; returns the annotation
@@ -81,7 +103,7 @@ class MicroBatcher:
         TimeoutError instead of wedging the calling thread if the device
         path stalls (runaway compile, device hang)."""
         done = threading.Event()
-        slot: dict = {}
+        slot: dict = {"t0": time.monotonic()}
         with self._lock:
             # under the lock, a non-closed batcher is guaranteed to
             # enqueue BEFORE close() enqueues _SHUTDOWN (FIFO queue), so
@@ -177,8 +199,10 @@ class MicroBatcher:
                 )
             self.batches_run += 1
             self.images_run += len(images)
+            now = time.monotonic()
             for (_, done, slot), result in zip(items, results):
                 slot["result"] = result
+                self._latencies.append(now - slot["t0"])
                 done.set()
         except BaseException as e:
             # surface the failure to every still-unserved waiter of THIS
@@ -232,6 +256,7 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                     "batches_run": batcher.batches_run,
                     "images_run": batcher.images_run,
                     "queue_depth": batcher.queue_depth,
+                    "latency": batcher.latency_stats(),
                     "model": model_info,
                 })
             else:

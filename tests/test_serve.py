@@ -62,6 +62,26 @@ def test_microbatcher_groups_concurrent_requests():
     b.close()
 
 
+def test_microbatcher_latency_stats():
+    fake = FakePredict(delay_s=0.02)
+    b = MicroBatcher(fake, max_batch=4, window_ms=1.0)
+    for _ in range(3):
+        b.submit(Image.new("RGB", (8, 8)))
+    stats = b.latency_stats()
+    assert stats["count"] == 3
+    # each request waited at least the model delay, and the percentile
+    # order holds
+    assert stats["p50_ms"] >= 20.0
+    assert stats["p50_ms"] <= stats["p95_ms"] <= stats["p99_ms"]
+    b.close()
+
+
+def test_microbatcher_latency_stats_empty():
+    b = MicroBatcher(FakePredict(), max_batch=2, window_ms=1.0)
+    assert b.latency_stats() == {"count": 0}
+    b.close()
+
+
 def test_microbatcher_propagates_model_errors():
     b = MicroBatcher(FakePredict(fail=True), max_batch=2, window_ms=1.0)
     with pytest.raises(RuntimeError, match="model exploded"):
@@ -177,6 +197,7 @@ def test_http_server_end_to_end():
         assert health["model"]["anchors"] == ["bean", "maize"]
         assert health["model"]["width"] == 64
         assert health["queue_depth"] == 0
+        assert health["latency"] == {"count": 0}  # nothing served yet
 
         rng = np.random.default_rng(0)
         buf = io.BytesIO()
