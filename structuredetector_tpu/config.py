@@ -72,6 +72,11 @@ class Config:
     data_parallel: int = 0  # 0 = all available devices on the "data" axis
     model_parallel: int = 1
     profile: bool = False
+    # Return freed glibc heap to the OS at each epoch end. Mitigation
+    # lever for the anonymous-heap RSS growth observed on long
+    # multi-scale runs through tunneled backends (ROADMAP.md
+    # "Performance"); opt-in because it costs a heap walk per epoch.
+    malloc_trim: bool = False
 
     seed: int = DEFAULT_SEED
     # host-side loader threads; -1 = auto, min(cpu_count, 4) like the
@@ -340,6 +345,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="Devices on the model-parallel mesh axis.")
     p.add_argument("--profile", action="store_true",
                    help="Capture a jax.profiler trace of a few training steps.")
+    p.add_argument("--malloc_trim", action="store_true",
+                   help="Call glibc malloc_trim(0) at each epoch end to "
+                        "return freed heap to the OS (host-RSS mitigation).")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--num_workers", type=int, default=d.num_workers,
                    help="Host-side data prefetch threads.")
@@ -432,6 +440,7 @@ def config_from_args(argv=None) -> Config:
         data_parallel=ns.data_parallel,
         model_parallel=ns.model_parallel,
         profile=ns.profile,
+        malloc_trim=ns.malloc_trim,
         seed=ns.seed,
         num_workers=ns.num_workers,
         native_io=ns.native_io or ns.native_io_fast,

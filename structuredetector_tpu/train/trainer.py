@@ -96,6 +96,23 @@ def host_rss_mb() -> float:
         return 0.0
 
 
+def malloc_trim() -> bool:
+    """Ask glibc to return freed heap pages to the OS; True on success.
+
+    The observed host-RSS growth on long runs is anonymous heap with a
+    flat mapping count (ROADMAP.md "Performance") — consistent with
+    glibc arenas retaining freed allocations. `malloc_trim(0)` walks the
+    arenas and releases what it can; a no-op (and False) on non-glibc
+    platforms."""
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        return bool(libc.malloc_trim(0) >= 0)
+    except Exception:
+        return False
+
+
 class Trainer:
     def __init__(self, config, log: bool = True):
         self.config = config
@@ -282,6 +299,8 @@ class Trainer:
                         self.global_step, jax.device_get(self.state)
                     )
                 self.writer.flush()
+                if self.config.malloc_trim:
+                    malloc_trim()
         finally:
             # Always drain the async checkpointer — an exception mid-loop
             # must not leave orbax threads writing at interpreter exit.

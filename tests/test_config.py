@@ -65,13 +65,14 @@ def test_cli_parse_roundtrip(tmp_path):
         "--anchor_name", "stem", "--width", "256", "--height", "256",
         "--batch_size", "4", "--epochs", "7", "--hm_loss_fn", "focal",
         "--conf_threshold", "0.4", "--no_amp", "--eval_batch_size", "8",
-        "--model_parallel", "2",
+        "--model_parallel", "2", "--malloc_trim",
     ])
     assert cfg.anchor_name == "stem"
     assert cfg.width == 256 and cfg.batch_size == 4 and cfg.epochs == 7
     assert cfg.hm_loss_fn == "focal" and cfg.conf_threshold == 0.4
     assert not cfg.use_amp
     assert cfg.eval_batch_size == 8 and cfg.model_parallel == 2
+    assert cfg.malloc_trim
     assert cfg.labels == {"bean": 0, "maize": 1}
     assert cfg.n_parts == 1
 

@@ -55,6 +55,10 @@ def main():
     p.add_argument("--sample_every", type=int, default=10)
     p.add_argument("--float_feed", action="store_true",
                    help="feed float32 instead of uint8 (4x transfer size)")
+    p.add_argument("--malloc_trim", action="store_true",
+                   help="call glibc malloc_trim(0) at every sample point "
+                        "(the trainer's --malloc_trim mitigation, probed "
+                        "at step granularity)")
     args = p.parse_args()
 
     import jax
@@ -116,6 +120,10 @@ def main():
         state, stats = step(state, img, kp)
         if i % args.sample_every == 0:
             _ = float(stats["total_loss"])  # sync via host transfer
+            if args.malloc_trim:
+                from structuredetector_tpu.train.trainer import malloc_trim
+
+                malloc_trim()
             py = (tracemalloc.get_traced_memory()[0] - py0) / 1e6
             samples.append({"step": i, "rss_mb": round(rss_mb() - rss0, 1),
                             "py_mb": round(py, 1)})
