@@ -96,6 +96,7 @@ def run_one(args, max_batch: int) -> dict:
     else:
         serve_cmd += ["--load_model", args.load_model,
                       "--labels", args.labels, "--anchor_name", args.anchor_name]
+    serve_cmd += args.serve_args
 
     log = open(args.log_dir / f"serve_b{max_batch}.log", "w")
     proc = subprocess.Popen(serve_cmd, stdout=log, stderr=subprocess.STDOUT)
@@ -144,6 +145,9 @@ def run_one(args, max_batch: int) -> dict:
                 health.get("images_run", 0) / health["batches_run"]
                 if health.get("batches_run") else float("nan")
             ),
+            # server-side submit->done percentiles (excludes HTTP/decode
+            # overhead the client numbers include) from /healthz
+            "server_latency": health.get("latency"),
         }
     finally:
         proc.terminate()
@@ -171,6 +175,9 @@ def main(argv=None):
                    help="Comma-separated max_batch values, e.g. 8,32,128.")
     p.add_argument("--log_dir", type=Path, default=Path("_runs"))
     p.add_argument("--out", type=Path, default=None)
+    p.add_argument("serve_args", nargs="*", default=[],
+                   help="Extra flags forwarded to the serve subprocess "
+                        "after '--', e.g. -- --width 256 --int8.")
     args = p.parse_args(argv)
     args.log_dir.mkdir(parents=True, exist_ok=True)
 
