@@ -72,6 +72,15 @@ class Config:
     data_parallel: int = 0  # 0 = all available devices on the "data" axis
     model_parallel: int = 1
     profile: bool = False
+    # Abort (exit code 87) if no training/validation step completes for
+    # this many seconds. A wedged device RPC (e.g. a dropped tunnel
+    # connection to a remote TPU) blocks the main thread in
+    # uninterruptible C code forever; the watchdog turns that silent
+    # stall into a fast, resumable failure (pair with --resume or
+    # tools/train_supervised.sh). 0 disables. Set it well above the
+    # longest legitimate gap — first-epoch compiles of a new resolution
+    # bucket can take minutes on a cold cache.
+    stall_timeout_s: float = 0.0
     # Return freed glibc heap to the OS at each epoch end. Mitigation
     # lever for the anonymous-heap RSS growth observed on long
     # multi-scale runs through tunneled backends (ROADMAP.md
@@ -345,6 +354,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="Devices on the model-parallel mesh axis.")
     p.add_argument("--profile", action="store_true",
                    help="Capture a jax.profiler trace of a few training steps.")
+    p.add_argument("--stall_timeout_s", type=float, default=d.stall_timeout_s,
+                   help="Abort with exit code 87 if no step completes for "
+                        "this many seconds (wedged device RPC detector; "
+                        "0 = off). Resumable via --resume.")
     p.add_argument("--malloc_trim", action="store_true",
                    help="Call glibc malloc_trim(0) at each epoch end to "
                         "return freed heap to the OS (host-RSS mitigation).")
@@ -440,6 +453,7 @@ def config_from_args(argv=None) -> Config:
         data_parallel=ns.data_parallel,
         model_parallel=ns.model_parallel,
         profile=ns.profile,
+        stall_timeout_s=max(0.0, ns.stall_timeout_s),
         malloc_trim=ns.malloc_trim,
         seed=ns.seed,
         num_workers=ns.num_workers,

@@ -96,6 +96,68 @@ def host_rss_mb() -> float:
         return 0.0
 
 
+STALL_EXIT_CODE = 87
+
+
+class StallWatchdog:
+    """Aborts the process when training stops making progress.
+
+    A dead connection to a remote device backend leaves the main thread
+    blocked inside an uninterruptible C call (observed in production: a
+    tunneled TPU client futex-waiting forever on an RPC reply mid-run).
+    No Python exception can be raised into such a frame, so the only
+    reliable escape is a hard exit from a sidecar thread: `beat()` after
+    every completed step; if no beat arrives within `timeout_s`, the
+    watchdog prints a diagnostic and `os._exit(STALL_EXIT_CODE)` so a
+    supervisor (tools/train_supervised.sh) can relaunch with --resume.
+    """
+
+    def __init__(self, timeout_s: float, on_fire=None):
+        import threading
+        import time
+
+        if timeout_s <= 0:
+            raise ValueError("timeout_s must be > 0")
+        self.timeout_s = timeout_s
+        self._time = time.monotonic
+        self._beat_t = self._time()
+        self._stop = threading.Event()
+        self._on_fire = on_fire  # test seam; None = os._exit for real
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="stall-watchdog"
+        )
+
+    def start(self) -> "StallWatchdog":
+        self._thread.start()
+        return self
+
+    def beat(self):
+        self._beat_t = self._time()
+
+    def stop(self):
+        self._stop.set()
+
+    def _run(self):
+        import os
+        import sys
+
+        poll = max(0.05, min(10.0, self.timeout_s / 4))
+        while not self._stop.wait(poll):
+            idle = self._time() - self._beat_t
+            if idle > self.timeout_s:
+                print(
+                    f"[stall-watchdog] no step completed in {idle:.0f}s "
+                    f"(> {self.timeout_s:.0f}s): device RPC presumed wedged; "
+                    f"aborting with exit code {STALL_EXIT_CODE}. The run dir "
+                    f"holds a resumable checkpoint (--resume).",
+                    file=sys.stderr, flush=True,
+                )
+                if self._on_fire is not None:
+                    self._on_fire(idle)
+                    return
+                os._exit(STALL_EXIT_CODE)
+
+
 def malloc_trim() -> bool:
     """Ask glibc to return freed heap pages to the OS; True on success.
 
@@ -200,6 +262,7 @@ class Trainer:
         self._eval_step = None
         self._profiled = False
         self._preempted = False
+        self._watchdog: StallWatchdog | None = None
 
     # -- preemption (SURVEY.md §5 failure detection) ---------------------
 
@@ -284,6 +347,8 @@ class Trainer:
                 )
 
         self._install_preemption_handlers()
+        if self.config.stall_timeout_s > 0:
+            self._watchdog = StallWatchdog(self.config.stall_timeout_s).start()
         try:
             for epoch in tqdm(range(start_epoch, self.config.epochs),
                               initial=start_epoch, total=self.config.epochs,
@@ -304,6 +369,9 @@ class Trainer:
         finally:
             # Always drain the async checkpointer — an exception mid-loop
             # must not leave orbax threads writing at interpreter exit.
+            # Watchdog first: the final drain can legitimately take long.
+            if self._watchdog is not None:
+                self._watchdog.stop()
             self._restore_signal_handlers()
             self.checkpoints.wait()
             self.writer.close()
@@ -356,6 +424,10 @@ class Trainer:
                 host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
                 self.writer.scalars("Loss/Train", host_stats, self.global_step)
             self.global_step += cfg.batch_size
+            if self._watchdog is not None:
+                # reaching here means the last blocking host<->device
+                # round-trip (prefetch transfer / stats fetch) returned
+                self._watchdog.beat()
             if self._preempted:  # SIGTERM/SIGINT: stop at the batch boundary
                 break
 
@@ -402,6 +474,8 @@ class Trainer:
             n += bn
             last = (batch, data, data["annotation"][0], batch["annotation"][0],
                     gt_maps)
+            if self._watchdog is not None:
+                self._watchdog.beat()
 
         loss_avg = {k: v / max(n, 1) for k, v in loss_sums.items()}
         summary = self.evaluator.scalar_summary()

@@ -220,3 +220,33 @@ def test_malloc_trim_returns_heap():
 
     if platform.system() == "Linux":
         assert malloc_trim() is True
+
+
+def test_stall_watchdog_aborts_wedged_trainer(tmp_path):
+    """Integration: a trainer whose epoch never completes a step is
+    killed by the watchdog with the supervisor-visible exit code 87."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent("""
+        import time
+        from structuredetector_tpu.train import trainer as trainer_mod
+
+        class FakeTrainer:
+            pass
+
+        # drive train()'s watchdog wiring without a real model: reuse the
+        # real method objects on a minimal stand-in
+        t = FakeTrainer.__new__(FakeTrainer)
+        t._watchdog = None
+        wd = trainer_mod.StallWatchdog(0.3).start()
+        t._watchdog = wd
+        time.sleep(30)   # 'wedged RPC': never beats
+        print('not reached')
+    """)
+    proc = subprocess.run([sys.executable, "-c", script], timeout=60,
+                          capture_output=True, text=True)
+    assert proc.returncode == 87, proc.stderr
+    assert "stall-watchdog" in proc.stderr
+    assert "not reached" not in proc.stdout
