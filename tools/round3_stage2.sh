@@ -31,11 +31,15 @@ fi
 echo "[s2] battery done at $(date)"
 
 PRE_SEEDB_DIR="$(ls -d trainings/*/ 2>/dev/null | sort | tail -1)"
-echo "[s2] stage 1: seed-B flagship run (seed=$SEED_B, eval_batch_size=8)"
-python -m structuredetector_tpu.cli.train \
+echo "[s2] stage 1: seed-B flagship run (seed=$SEED_B, eval_batch_size=8, supervised)"
+# supervised + stall watchdog: a dropped tunnel RPC aborts in 15 min and
+# auto-resumes from the last epoch checkpoint instead of stranding the
+# chip (this exact failure hit the seed-A run at epoch 38)
+bash tools/train_supervised.sh -n 5 -- \
   --train_dir $DATA/train --valid_dir $DATA/valid \
   --labels labels.json --anchor_name stem --hm_loss_fn focal \
   --batch_size 32 --epochs 100 --seed "$SEED_B" --eval_batch_size 8 \
+  --stall_timeout_s 900 \
   > _runs/train_r3v5_seedB.log 2>&1 &
 TRAIN_PID=$!
 echo $TRAIN_PID > /tmp/train_seedB.pid
@@ -70,11 +74,14 @@ T1=$(date +%s)
 echo "[s2] timed rerun exit=$RC wall=$((T1 - T0))s"
 echo "$((T1 - T0))" > _runs/slowtier_rerun_wall_s.txt
 
-echo "[s2] stage 4: RSS probe A/B"
+echo "[s2] stage 4: RSS probe A/B/C"
 timeout 2400 python tools/probe_rss.py --steps 120 \
   > _runs/probe_rss_default.log 2>&1
 echo "[s2] probe(default) exit=$?"
 timeout 2400 env MALLOC_ARENA_MAX=2 python tools/probe_rss.py --steps 120 \
   > _runs/probe_rss_arena2.log 2>&1
 echo "[s2] probe(arena2) exit=$?"
+timeout 2400 python tools/probe_rss.py --steps 120 --malloc_trim \
+  > _runs/probe_rss_trim.log 2>&1
+echo "[s2] probe(trim) exit=$?"
 echo "[s2] all stages done at $(date)"
