@@ -85,7 +85,9 @@ class MicroBatcher:
 
         Covers the full server-side path (queue wait + batching window +
         device forward + decode); nearest-rank percentiles."""
-        lats = sorted(self._latencies)
+        lats = sorted(list(self._latencies))  # snapshot first: the worker
+        # appends concurrently, and sorting an actively-mutating deque
+        # is undefined outside CPython's atomic C-level copy
         if not lats:
             return {"count": 0}
         n = len(lats)
