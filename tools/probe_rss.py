@@ -79,7 +79,7 @@ def main():
     state = TrainState(step=jnp.int32(0), params=variables["params"],
                        batch_stats=variables["batch_stats"],
                        opt_state=tx.init(variables["params"]))
-    out = args.size // cfg.down_ratio
+    out = int(args.size / cfg.down_ratio)  # down_ratio is float (ref parity)
     step = make_train_step(model, cfg, tx, out_h=out, out_w=out,
                            augment=True, donate=True)
 
