@@ -59,6 +59,11 @@ def main():
                    help="call glibc malloc_trim(0) at every sample point "
                         "(the trainer's --malloc_trim mitigation, probed "
                         "at step granularity)")
+    p.add_argument("--reuse_buffer", action="store_true",
+                   help="write each step's pixels into ONE persistent host "
+                        "array instead of allocating a fresh one — probes "
+                        "whether client-side transfer retention is keyed "
+                        "to buffer identity")
     args = p.parse_args()
 
     import jax
@@ -85,11 +90,19 @@ def main():
 
     rng = np.random.default_rng(0)
     o, pm = cfg.max_objects, cfg.max_parts
+    img_dtype = np.float32 if args.float_feed else np.uint8
+    persistent = (np.empty((args.batch, args.size, args.size, 3), img_dtype)
+                  if args.reuse_buffer else None)
 
     def fresh_batch(i):
         """New host arrays each step (different bytes: a caching client
-        must actually transfer them)."""
-        if args.float_feed:
+        must actually transfer them). With --reuse_buffer the bytes still
+        change but land in the same allocation."""
+        if persistent is not None:
+            # cheap whole-buffer rewrite: roll one random row pattern
+            persistent[..., :] = (i % 251) if not args.float_feed else i * 1e-3
+            img = persistent
+        elif args.float_feed:
             img = rng.random((args.batch, args.size, args.size, 3),
                              np.float32)
         else:
