@@ -161,11 +161,12 @@ class StallWatchdog:
 def malloc_trim() -> bool:
     """Ask glibc to return freed heap pages to the OS; True on success.
 
-    The observed host-RSS growth on long runs is anonymous heap with a
-    flat mapping count (ROADMAP.md "Performance") — consistent with
-    glibc arenas retaining freed allocations. `malloc_trim(0)` walks the
-    arenas and releases what it can; a no-op (and False) on non-glibc
-    platforms."""
+    General hygiene for long runs on many-threaded hosts. Note: the
+    host-RSS growth observed under the tunneled backend is NOT glibc
+    retention — tools/probe_rss.py showed it immune to malloc_trim and
+    MALLOC_ARENA_MAX and proportional to transferred bytes (a transfer
+    leak in the tunnel client; DESIGN.md "Host RSS under the tunneled
+    backend"). A no-op (and False) on non-glibc platforms."""
     try:
         import ctypes
 
