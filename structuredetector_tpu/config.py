@@ -86,6 +86,12 @@ class Config:
     # multi-scale runs through tunneled backends (ROADMAP.md
     # "Performance"); opt-in because it costs a heap walk per epoch.
     malloc_trim: bool = False
+    # Exponential moving average of the params (decay per step; 0 = off).
+    # Validation, the 4-best snapshots, and the final weights all come
+    # from the averaged params when enabled — a standard CenterNet-family
+    # training stabilizer the reference lacks. One fused multiply-add
+    # pytree op per step on device (~free next to the train step).
+    ema: float = 0.0
 
     seed: int = DEFAULT_SEED
     # host-side loader threads; -1 = auto, min(cpu_count, 4) like the
@@ -217,6 +223,7 @@ class Config:
             assert all(0 <= t <= 1 for t in self.conf_sweep), (
                 f"--conf_sweep thresholds must be in [0, 1]: {self.conf_sweep}"
             )
+        assert 0 <= self.ema < 1, f"--ema must be in [0, 1): {self.ema}"
         assert 0 <= self.csi_threshold <= 1
         assert 0 < self.sigma_gauss <= 1
         if self.hm_loss_fn.lower() not in {"focal", "mse"}:
@@ -361,6 +368,10 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
     p.add_argument("--malloc_trim", action="store_true",
                    help="Call glibc malloc_trim(0) at each epoch end to "
                         "return freed heap to the OS (host-RSS mitigation).")
+    p.add_argument("--ema", type=float, default=d.ema,
+                   help="Per-step EMA decay for the params (e.g. 0.999); "
+                        "validation and best-model snapshots use the "
+                        "averaged weights. 0 disables.")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--num_workers", type=int, default=d.num_workers,
                    help="Host-side data prefetch threads.")
@@ -455,6 +466,7 @@ def config_from_args(argv=None) -> Config:
         profile=ns.profile,
         stall_timeout_s=max(0.0, ns.stall_timeout_s),
         malloc_trim=ns.malloc_trim,
+        ema=ns.ema,
         seed=ns.seed,
         num_workers=ns.num_workers,
         native_io=ns.native_io or ns.native_io_fast,

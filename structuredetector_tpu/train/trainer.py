@@ -258,6 +258,24 @@ class Trainer:
         self.checkpoints = CheckpointManager(self.save_dir)
         self.best_models = BestModelSaver(self.save_dir)
 
+        # --ema: averaged params live OUTSIDE TrainState (checkpoint
+        # layout stays identical whether or not EMA is on; the average
+        # is persisted as a sibling ema_params.msgpack, itself loadable
+        # via --load_model). One donated fused multiply-add per step.
+        self.ema_params = None
+        self._ema_update = None
+        if config.ema > 0:
+            decay = float(config.ema)
+            # a COPY: the train step donates the state, so aliasing
+            # state.params here would leave ema pointing at deleted
+            # buffers after the first step
+            self.ema_params = jax.tree.map(jnp.copy, self.state.params)
+            self._ema_update = jax.jit(
+                lambda ema, p: jax.tree.map(
+                    lambda e, q: e * decay + q * (1.0 - decay), ema, p),
+                donate_argnums=0,
+            )
+
         self.global_step = 0
         self._train_steps: Dict[Tuple[int, int], object] = {}
         self._eval_step = None
@@ -293,9 +311,20 @@ class Trainer:
             signal.signal(sig, prev)
         self._prev_handlers = {}
 
+    def _save_ema(self):
+        if self.ema_params is not None:
+            from ..models.network import save_params
+
+            save_params(
+                {"params": jax.device_get(self.ema_params),
+                 "batch_stats": jax.device_get(self.state.batch_stats)},
+                self.save_dir / "ema_params.msgpack",
+            )
+
     def _preemption_save(self):
         if self.is_lead:
             self.checkpoints.save_state(self.global_step, jax.device_get(self.state))
+            self._save_ema()
             self.checkpoints.wait()
             print(
                 f"Preemption: saved train state at step {int(self.state.step)} "
@@ -364,6 +393,7 @@ class Trainer:
                     self.checkpoints.save_state(
                         self.global_step, jax.device_get(self.state)
                     )
+                    self._save_ema()
                 self.writer.flush()
                 if self.config.malloc_trim:
                     malloc_trim()
@@ -412,6 +442,9 @@ class Trainer:
             if not isinstance(kp, dict):
                 kp = kp_to_device_dict(kp)
             self.state, stats = step_fn(self.state, images, kp)
+            if self._ema_update is not None:
+                self.ema_params = self._ema_update(
+                    self.ema_params, self.state.params)
             if profile_this and i == 10:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
@@ -450,6 +483,11 @@ class Trainer:
         self.evaluator.reset()
         eval_step = self._eval_step_fn()
         variables = self.state.variables
+        if self.ema_params is not None:
+            # validate (and snapshot best models from) the averaged
+            # weights; BN stats stay the live running averages
+            variables = {"params": self.ema_params,
+                         "batch_stats": self.state.batch_stats}
 
         loss_sums: Dict[str, float] = {}
         n = 0
@@ -570,4 +608,15 @@ class Trainer:
             return False
         self.state = jax.device_put(restored)
         self.global_step = int(self.state.step) * self.config.batch_size
+        if self.config.ema > 0:
+            # resume the average alongside the state; fall back to the
+            # restored params for checkpoints written before EMA was on
+            ema_file = self.save_dir / "ema_params.msgpack"
+            if ema_file.exists():
+                from ..models.network import load_params
+
+                self.ema_params = jax.device_put(
+                    load_params(str(ema_file))["params"])
+            else:
+                self.ema_params = jax.tree.map(jnp.copy, self.state.params)
         return True

@@ -250,3 +250,27 @@ def test_stall_watchdog_aborts_wedged_trainer(tmp_path):
     assert proc.returncode == 87, proc.stderr
     assert "stall-watchdog" in proc.stderr
     assert "not reached" not in proc.stdout
+
+
+def test_ema_update_math():
+    """The trainer's jitted EMA op is e*d + p*(1-d), donated in place."""
+    from structuredetector_tpu.train.trainer import Trainer  # noqa: F401
+
+    decay = 0.9
+    update = jax.jit(
+        lambda ema, p: jax.tree.map(
+            lambda e, q: e * decay + q * (1.0 - decay), ema, p),
+        donate_argnums=0,
+    )
+    ema = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    params = {"w": jnp.full((4,), 2.0), "b": jnp.full((2,), 10.0)}
+    out = update(ema, params)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0 * 0.9 + 2.0 * 0.1)
+    np.testing.assert_allclose(np.asarray(out["b"]), 10.0 * 0.1)
+
+
+def test_config_ema_validation():
+    cfg = Config(width=32, height=32, ema=1.0)
+    cfg.set_labels(["a"], ["p"])
+    with pytest.raises(AssertionError):
+        cfg.validate()

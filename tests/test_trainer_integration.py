@@ -182,3 +182,43 @@ def test_batched_validation_matches_batch1(dataset_dirs, monkeypatch, tmp_path):
     for k in s1:
         if k.startswith(("kps/", "anchor/", "part/", "csi/", "classif/")):
             assert s1[k] == pytest.approx(s2[k], nan_ok=True), k
+
+
+def test_ema_validation_and_snapshots(dataset_dirs, monkeypatch, tmp_path):
+    """--ema: validation + best-model snapshots come from the averaged
+    params, the average persists as ema_params.msgpack, and resume
+    restores it."""
+    import jax
+    import numpy as np
+
+    from structuredetector_tpu.models.network import load_params
+    from structuredetector_tpu.train import Trainer
+
+    monkeypatch.chdir(tmp_path)
+    # one epoch: the (only) validation runs after the last train step,
+    # so the best-model snapshot must hold exactly the final average
+    cfg = make_config(dataset_dirs, ema=0.5, epochs=1)
+    trainer = Trainer(cfg, log=False)
+    trainer.train()
+
+    # the average is tracked and differs from the live params after
+    # real update steps (decay 0.5 lags by half the last delta)
+    leaf = jax.tree.leaves(trainer.state.params)[0]
+    ema_leaf = jax.tree.leaves(trainer.ema_params)[0]
+    assert not np.allclose(np.asarray(leaf), np.asarray(ema_leaf))
+
+    # best-model snapshots hold the EMA weights, not the live ones
+    saved = load_params(trainer.save_dir / "model_best_loss.msgpack")
+    saved_leaf = jax.tree.leaves(saved["params"])[0]
+    np.testing.assert_allclose(
+        np.asarray(saved_leaf), np.asarray(ema_leaf), rtol=1e-6)
+
+    # the sibling average file exists and resume() restores it
+    ema_file = trainer.save_dir / "ema_params.msgpack"
+    assert ema_file.exists()
+    cfg2 = make_config(dataset_dirs, ema=0.5, resume_dir=str(trainer.save_dir))
+    trainer2 = Trainer(cfg2, log=False)
+    assert trainer2.resume()
+    ema2_leaf = jax.tree.leaves(trainer2.ema_params)[0]
+    np.testing.assert_allclose(
+        np.asarray(ema2_leaf), np.asarray(ema_leaf), rtol=1e-6)
