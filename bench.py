@@ -45,6 +45,13 @@ NORM_LO, NORM_HI = -2.12, 2.64
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=0,
+                    help="override the batch size (0 = per-backend default)")
+    args = ap.parse_args()
+
     on_tpu = jax.default_backend() == "tpu"
     # CPU fallback exists only as a smoke test: XLA CPU emulates the
     # int8 convs far too slowly for 512x512, so shrink there.
@@ -56,7 +63,7 @@ def main():
     model, variables = init_model(cfg)
     # int8 + static scales measured fastest at batch 128 (DESIGN.md
     # serving section: 4,007-4,035 img/s across repeats on v5e).
-    batch = 128 if on_tpu else 2
+    batch = args.batch or (128 if on_tpu else 2)
 
     key = jax.random.PRNGKey(0)
     images = jax.random.uniform(
