@@ -87,10 +87,11 @@ class Config:
     # "Performance"); opt-in because it costs a heap walk per epoch.
     malloc_trim: bool = False
     # Exponential moving average of the params (decay per step; 0 = off).
-    # Validation, the 4-best snapshots, and the final weights all come
-    # from the averaged params when enabled — a standard CenterNet-family
-    # training stabilizer the reference lacks. One fused multiply-add
-    # pytree op per step on device (~free next to the train step).
+    # Validation and the 4-best snapshots use the averaged params,
+    # persisted separately as ema_params.msgpack (loadable via
+    # --load_model); the Orbax train-state checkpoint keeps the live
+    # params. A standard CenterNet-family training stabilizer the
+    # reference lacks. One fused multiply-add pytree op per step.
     ema: float = 0.0
 
     seed: int = DEFAULT_SEED

@@ -26,15 +26,19 @@ from collections import defaultdict
 from typing import Dict, Optional
 
 import jax
+import jax.numpy as jnp
 
 from ..annotations import ImageAnnotation, Keypoint, Object
 from ..ops.decode import decode_feature_maps
 
 
-@functools.partial(jax.jit, static_argnames=("max_objects", "max_parts", "conf_thresh",
-                                             "dist_thresh", "apply_sigmoid_nms", "use_pallas"))
-def _decode_jit(outputs, *, max_objects, max_parts, conf_thresh, dist_thresh,
+@functools.partial(jax.jit, static_argnames=("max_objects", "max_parts",
+                                             "apply_sigmoid_nms", "use_pallas"))
+def _decode_jit(outputs, conf_thresh, dist_thresh, *, max_objects, max_parts,
                 apply_sigmoid_nms, use_pallas):
+    # conf/dist thresholds are TRACED scalars: they only feed masking
+    # comparisons, so threshold changes (--conf_sweep, serving knobs)
+    # reuse one compiled decode program instead of recompiling per value.
     nms_fn = None
     if use_pallas:
         from ..ops.pallas import fused_sigmoid_nms
@@ -71,10 +75,10 @@ class Decoder:
         """Device phase only: fixed-shape detection arrays."""
         return _decode_jit(
             outputs,
+            jnp.float32(conf_thresh),
+            jnp.float32(dist_thresh),
             max_objects=self.max_objects,
             max_parts=self.max_parts,
-            conf_thresh=float(conf_thresh),
-            dist_thresh=float(dist_thresh),
             apply_sigmoid_nms=self.apply_sigmoid_nms,
             use_pallas=self.use_pallas,
         )

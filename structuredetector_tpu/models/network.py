@@ -178,10 +178,18 @@ def save_params(variables: Dict[str, Any], path) -> None:
     (network.py:86-87)."""
     from pathlib import Path
 
+    import os
+
     data = flax.serialization.msgpack_serialize(
         jax.tree.map(lambda x: jax.device_get(x), flax.core.unfreeze(variables))
     )
-    Path(path).write_bytes(data)
+    # Atomic replace: checkpoint files are resume-critical (the stall
+    # watchdog's os._exit / SIGKILL preemption can land mid-write), so
+    # never leave a truncated file at the final path.
+    path = Path(path)
+    tmp = path.with_name(path.name + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
 
 
 def load_params(path) -> Dict[str, Any]:

@@ -270,11 +270,18 @@ class Trainer:
             # state.params here would leave ema pointing at deleted
             # buffers after the first step
             self.ema_params = jax.tree.map(jnp.copy, self.state.params)
-            self._ema_update = jax.jit(
-                lambda ema, p: jax.tree.map(
-                    lambda e, q: e * decay + q * (1.0 - decay), ema, p),
-                donate_argnums=0,
-            )
+
+            # Warmup-corrected decay (min(decay, (1+t)/(10+t))): the
+            # average starts at the init weights, so a flat decay near 1
+            # would leave early validations (epoch 0 runs valid()!)
+            # dominated by random init and could lock a near-init
+            # snapshot in as "best" on short runs.
+            def _ema_step(ema, p, step):
+                step = step.astype(jnp.float32)
+                d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+                return jax.tree.map(lambda e, q: e * d + q * (1.0 - d), ema, p)
+
+            self._ema_update = jax.jit(_ema_step, donate_argnums=0)
 
         self.global_step = 0
         self._train_steps: Dict[Tuple[int, int], object] = {}
@@ -323,6 +330,11 @@ class Trainer:
 
     def _preemption_save(self):
         if self.is_lead:
+            # A long save/drain is legitimate progress — suspend the
+            # stall watchdog so it cannot os._exit mid-write (the save
+            # itself is atomic, but losing the drain loses the step).
+            if self._watchdog is not None:
+                self._watchdog.stop()
             self.checkpoints.save_state(self.global_step, jax.device_get(self.state))
             self._save_ema()
             self.checkpoints.wait()
@@ -394,6 +406,11 @@ class Trainer:
                         self.global_step, jax.device_get(self.state)
                     )
                     self._save_ema()
+                    if self._watchdog is not None:
+                        # the device_get above is a completed blocking
+                        # round-trip; don't let a slow epoch-end save
+                        # eat into the stall budget
+                        self._watchdog.beat()
                 self.writer.flush()
                 if self.config.malloc_trim:
                     malloc_trim()
@@ -444,7 +461,7 @@ class Trainer:
             self.state, stats = step_fn(self.state, images, kp)
             if self._ema_update is not None:
                 self.ema_params = self._ema_update(
-                    self.ema_params, self.state.params)
+                    self.ema_params, self.state.params, self.state.step)
             if profile_this and i == 10:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
@@ -454,14 +471,17 @@ class Trainer:
             # every 10th step, not every step like the reference
             # (trainer.py:126-129): a blocking host fetch per step would
             # serialize the device pipeline — documented in README.
-            if self.log and i % 10 == 0:
+            if i % 10 == 0:
+                # Blocking fetch on EVERY process (not just the logging
+                # lead): the watchdog's beat must witness a completed
+                # device round-trip, or async dispatch keeps "progressing"
+                # for as long as the queue absorbs batches after a wedge.
                 host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
-                self.writer.scalars("Loss/Train", host_stats, self.global_step)
+                if self.log:
+                    self.writer.scalars("Loss/Train", host_stats, self.global_step)
+                if self._watchdog is not None:
+                    self._watchdog.beat()
             self.global_step += cfg.batch_size
-            if self._watchdog is not None:
-                # reaching here means the last blocking host<->device
-                # round-trip (prefetch transfer / stats fetch) returned
-                self._watchdog.beat()
             if self._preempted:  # SIGTERM/SIGINT: stop at the batch boundary
                 break
 
@@ -612,11 +632,21 @@ class Trainer:
             # resume the average alongside the state; fall back to the
             # restored params for checkpoints written before EMA was on
             ema_file = self.save_dir / "ema_params.msgpack"
+            self.ema_params = None
             if ema_file.exists():
                 from ..models.network import load_params
 
-                self.ema_params = jax.device_put(
-                    load_params(str(ema_file))["params"])
-            else:
+                try:
+                    self.ema_params = jax.device_put(
+                        load_params(str(ema_file))["params"])
+                except Exception as e:
+                    # writes are atomic (save_params os.replace), but a
+                    # file from an older build may still be truncated —
+                    # never let a corrupt average brick --resume
+                    print(
+                        f"Warning: could not load {ema_file} ({e}); "
+                        f"restarting the EMA from the restored params"
+                    )
+            if self.ema_params is None:
                 self.ema_params = jax.tree.map(jnp.copy, self.state.params)
         return True
