@@ -362,12 +362,23 @@ class TrainAugmentation:
             u8=self.uint8_feed,
         )
 
-    def trigger_random_resize(self):
+    def trigger_random_resize(self, next_epoch: Optional[int] = None):
         """Re-roll the input resolution for the next epoch
-        (transforms.py:237-244); sizes snap to multiples of 32."""
+        (transforms.py:237-244); sizes snap to multiples of 32.
+
+        With `next_epoch` the roll is a pure function of
+        (config.seed, next_epoch), so a resumed run reproduces the
+        unbroken run's resolution schedule exactly (the trainer passes
+        it; per-sample jitter/flip draws remain stateful and are not
+        replayed). Without it, the legacy stateful draw is used."""
         if self.config.no_augmentation:
             return
-        ratio = self.ratios[int(self.rng.integers(len(self.ratios)))]
+        rng = (
+            np.random.default_rng((self.config.seed, 0x5C41E, next_epoch))
+            if next_epoch is not None
+            else self.rng
+        )
+        ratio = self.ratios[int(rng.integers(len(self.ratios)))]
         width = max(32, int(ratio * self.config.width / 32) * 32)
         height = max(32, int(ratio * self.config.height / 32) * 32)
         self.transform.transforms[0] = Resize((width, height))

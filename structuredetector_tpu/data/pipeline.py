@@ -162,7 +162,15 @@ class Loader:
                 f"global batch {batch_size} must divide by "
                 f"process_count {process_count}"
             )
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Pin the shuffle order to (seed, epoch) statelessly, so a
+        resumed run replays the exact batch sequence of the unbroken run
+        (the epoch is restored from the checkpointed step count; no RNG
+        state needs checkpointing). The trainer calls this every epoch."""
+        self._epoch = int(epoch)
 
     def __len__(self):
         n = len(self.dataset)
@@ -173,8 +181,10 @@ class Loader:
     def _index_batches(self) -> List[List[int]]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            # identically seeded on every process -> same global order
-            self._rng.shuffle(order)
+            # identically seeded on every process -> same global order;
+            # keyed on (seed, epoch) so the order is a pure function of
+            # the epoch (exact data-order resume, see set_epoch)
+            np.random.default_rng((self.seed, self._epoch)).shuffle(order)
         batches = [
             list(order[i : i + self.batch_size])
             for i in range(0, len(order), self.batch_size)

@@ -335,6 +335,10 @@ class Evaluator:
         self.part_eval = Evaluations(self.kp_labels)
         self.csi_eval = Evaluations(self.labels)
         self.classification_eval = Evaluations(self.get_classification_labels())
+        # part->parent assignment accuracy (no reference counterpart; the
+        # direct probe for the structural-grouping path, see eval_grouping)
+        self.grouping_correct = 0
+        self.grouping_total = 0
 
     @property
     def kps_eval(self) -> Evaluations:
@@ -364,6 +368,9 @@ class Evaluator:
             self.csi_eval += self.eval_csi(prediction, annotation)
         if eval_classif:
             self.classification_eval += self.eval_classif(prediction, annotation)
+        correct, total = self.eval_grouping(prediction, annotation)
+        self.grouping_correct += correct
+        self.grouping_total += total
 
     # -- metric families ------------------------------------------------
 
@@ -553,6 +560,55 @@ class Evaluator:
                     res.acc.append(best_csi)
         return result
 
+    def eval_grouping(self, prediction, annotation) -> Tuple[int, int]:
+        """Direct part->parent assignment accuracy (no reference
+        counterpart — added as the structural-grouping probe the CSI
+        family can't localize; cf. reference evaluator.py:538-581 which
+        only scores whole objects).
+
+        For every part of every *predicted* object, find the nearest GT
+        part of the same kind within the matching threshold. Localization
+        misses are not the grouping path's fault and are skipped; for the
+        matched ones, the assignment is correct iff the predicted parent
+        anchor lies within the threshold of the matched GT part's OWNER
+        anchor. Returns (correct, total matched)."""
+        sx, sy, dist_thresh, _ = self._scales(annotation)
+
+        gt_xy_by_kind: Dict[str, List[Tuple[float, float]]] = {}
+        gt_owner_by_kind: Dict[str, List[Tuple[float, float]]] = {}
+        for obj in annotation.objects:
+            for kp in obj.parts:
+                gt_xy_by_kind.setdefault(kp.kind, []).append((kp.x * sx, kp.y * sy))
+                gt_owner_by_kind.setdefault(kp.kind, []).append(
+                    (obj.x * sx, obj.y * sy)
+                )
+
+        correct = total = 0
+        for obj in prediction.objects:
+            ax, ay = obj.x * sx, obj.y * sy
+            for kp in obj.parts:
+                gxy = gt_xy_by_kind.get(kp.kind)
+                if not gxy:
+                    continue
+                px, py = kp.x * sx, kp.y * sy
+                dists = [math.hypot(px - gx, py - gy) for gx, gy in gxy]
+                j = min(range(len(dists)), key=dists.__getitem__)
+                if dists[j] >= dist_thresh:
+                    continue
+                total += 1
+                ox, oy = gt_owner_by_kind[kp.kind][j]
+                if math.hypot(ax - ox, ay - oy) < dist_thresh:
+                    correct += 1
+        return correct, total
+
+    @property
+    def grouping_accuracy(self) -> float:
+        return (
+            self.grouping_correct / self.grouping_total
+            if self.grouping_total
+            else float("nan")
+        )
+
     def eval_classif(self, prediction, annotation) -> Evaluations:
         """Composite-label classification: objects bucketed by
         "{label}_{nb_parts}" (evaluator.py:429-474). Matching is by anchor
@@ -655,6 +711,12 @@ class Evaluator:
             if len(evals) > 1:
                 table.add_row("Total", *evals.reduce().stats(), style="bold")
             rprint(table)
+        if self.grouping_total:
+            rprint(
+                f"Part->parent grouping accuracy: "
+                f"[bold]{self.grouping_accuracy:.2%}[/bold] "
+                f"({self.grouping_correct}/{self.grouping_total} matched parts)"
+            )
 
     def _csv_kps_str(self) -> str:
         """Per-kind keypoint metrics as CSV rows
@@ -690,9 +752,18 @@ class Evaluator:
             out[f"{name}/csi_total"] = total.csi
             if total.avg_acc is not None:
                 out[f"{name}/acc_total"] = total.avg_acc
+            # per-label scalars mirror the reference's per-label TB dicts
+            # (trainer.py:240-255: precision/recall/f1 + loc accuracy)
             for label, e in evals.items():
                 if e.npos or e.ndet:
                     out[f"{name}/f1_{label}"] = e.f1_score
+                    out[f"{name}/precision_{label}"] = e.precision
+                    out[f"{name}/recall_{label}"] = e.recall
+                    if e.acc:
+                        out[f"{name}/acc_{label}"] = e.avg_acc
+        if self.grouping_total:
+            out["grouping/accuracy"] = self.grouping_accuracy
+        out["grouping/matched_parts"] = float(self.grouping_total)
         return out
 
     def __repr__(self):

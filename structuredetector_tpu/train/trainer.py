@@ -387,6 +387,10 @@ class Trainer:
                     f"Resumed from step {int(self.state.step)} "
                     f"(epoch {start_epoch}/{self.config.epochs})"
                 )
+                if start_epoch > 0:
+                    # restore the multi-scale resolution the unbroken run
+                    # would use at this epoch (last roll was for it)
+                    self.train_augmentation.trigger_random_resize(start_epoch)
 
         self._install_preemption_handlers()
         if self.config.stall_timeout_s > 0:
@@ -428,6 +432,9 @@ class Trainer:
         from tqdm import tqdm
 
         cfg = self.config
+        # shuffle order is a pure function of (seed, epoch): a resumed
+        # run replays the unbroken run's exact batch sequence
+        self.train_loader.set_epoch(epoch)
         w, h = self.train_augmentation.current_size
         step_fn = self._train_step_for(h, w)
 
@@ -490,8 +497,9 @@ class Trainer:
             self.global_step,
         )
         self.writer.scalar("Host/rss_mb", host_rss_mb(), self.global_step)
-        # multi-scale re-roll for next epoch (trainer.py:135)
-        self.train_augmentation.trigger_random_resize()
+        # multi-scale re-roll for next epoch (trainer.py:135), keyed on
+        # the epoch so a resumed run replays the same schedule
+        self.train_augmentation.trigger_random_resize(epoch + 1)
 
     def valid(self) -> Dict[str, float]:
         """Validation pass (reference trainer.py:137-309): loss + decode
@@ -554,7 +562,7 @@ class Trainer:
                 ("Metrics_AllKps", "kps"), ("Metrics_Anchor", "anchor"),
                 ("Metrics_Parts", "part"),
             ):
-                for metric in ("f1", "precision", "recall"):
+                for metric in ("f1", "precision", "recall", "acc"):
                     vals = {
                         k.split("/", 1)[1].replace(f"{metric}_", ""): v
                         for k, v in summary.items()
@@ -572,6 +580,11 @@ class Trainer:
                 "Metrics_Classif/f1",
                 {"total": summary.get("classif/f1_total", 0.0)}, self.global_step,
             )
+            if "grouping/accuracy" in summary:
+                self.writer.scalar(
+                    "Metrics_Grouping/accuracy",
+                    summary["grouping/accuracy"], self.global_step,
+                )
             if last is not None:
                 self._log_debug_images(*last)
 

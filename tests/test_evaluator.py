@@ -244,3 +244,46 @@ def test_accumulate_does_not_mutate_inputs(tiny_config):
     ev.accumulate(pred, gt, eval_csi=True, eval_classif=True)
     assert gt.objects[0].x == 100 / 8
     assert pred.objects[0].x == 100 / 8
+
+
+def test_eval_grouping_accuracy(tiny_config):
+    """Direct part->parent assignment rate: parts attached to the wrong
+    predicted object count as incorrect; localization misses are skipped."""
+    gt = ann([
+        obj("bean", 10, 10, parts=[(12, 12, None)]),
+        obj("bean", 50, 50, parts=[(48, 48, None)]),
+    ], img_size=(64, 64))
+    # both parts localized, but the second is attached to the WRONG plant
+    pred = ann([
+        obj("bean", 10, 10, parts=[(12, 12, 0.9), (48, 48, 0.8)]),
+        obj("bean", 50, 50, parts=[]),
+    ], img_size=(64, 64))
+    ev = Evaluator(tiny_config)
+    correct, total = ev.eval_grouping(pred, gt)
+    assert (correct, total) == (1, 2)
+
+    ev.accumulate(pred, gt, [], eval_csi=True, eval_classif=True)
+    s = ev.scalar_summary()
+    assert s["grouping/accuracy"] == pytest.approx(0.5)
+    assert s["grouping/matched_parts"] == 2.0
+
+
+def test_eval_grouping_skips_unlocalized(tiny_config):
+    gt = ann([obj("bean", 10, 10, parts=[(12, 12, None)])], img_size=(64, 64))
+    # predicted part is nowhere near any GT part -> not counted at all
+    pred = ann([obj("bean", 10, 10, parts=[(40, 40, 0.9)])], img_size=(64, 64))
+    ev = Evaluator(tiny_config)
+    assert ev.eval_grouping(pred, gt) == (0, 0)
+
+
+def test_per_label_summary_scalars(tiny_config):
+    gt = ann([obj("bean", 10, 10, parts=[(12, 12, None)])], img_size=(64, 64))
+    pred = ann([obj("bean", 10, 10, parts=[(12, 12, 0.9)])], img_size=(64, 64))
+    ev = Evaluator(tiny_config)
+    ev.accumulate(pred, gt, [Keypoint("leaf", 12, 12, 0.9)],
+                  eval_csi=True, eval_classif=True)
+    s = ev.scalar_summary()
+    assert s["anchor/precision_bean"] == 1.0
+    assert s["anchor/recall_bean"] == 1.0
+    assert "anchor/acc_bean" in s
+    assert s["part/recall_leaf"] == 1.0
