@@ -95,6 +95,99 @@ bool decode_jpeg(const char* path, int target_w, int target_h, Image* out) {
   return out->c == 3;
 }
 
+// In-memory JPEG decode (the serving request path: the payload is
+// already in RAM, so no FILE* round-trip). Reports the ORIGINAL size
+// via cinfo.image_width/height even when DCT-downscaling the output.
+bool decode_jpeg_mem(const uint8_t* buf, size_t len, int target_w,
+                     int target_h, Image* out, int* orig_w, int* orig_h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  if (orig_w) { *orig_w = cinfo.image_width; *orig_h = cinfo.image_height; }
+
+  if (target_w > 0 && target_h > 0) {
+    int denom = 1;
+    while (denom < 8 && (int)cinfo.image_width / (denom * 2) >= target_w &&
+           (int)cinfo.image_height / (denom * 2) >= target_h) {
+      denom *= 2;
+    }
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = denom;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+
+  out->w = cinfo.output_width;
+  out->h = cinfo.output_height;
+  out->c = cinfo.output_components;
+  out->data.resize((size_t)out->w * out->h * out->c);
+
+  const size_t stride = (size_t)out->w * out->c;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out->data.data() + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return out->c == 3;
+}
+
+struct PngMemCursor {
+  const uint8_t* buf;
+  size_t len;
+  size_t pos;
+};
+
+void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+  PngMemCursor* cur = (PngMemCursor*)png_get_io_ptr(png);
+  if (cur->pos + n > cur->len) png_error(png, "png: truncated buffer");
+  std::memcpy(out, cur->buf + cur->pos, n);
+  cur->pos += n;
+}
+
+bool decode_png_mem(const uint8_t* buf, size_t len, Image* out) {
+  if (len < 8 || png_sig_cmp(buf, 0, 8)) return false;
+  png_structp png = png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  png_infop info = png_create_info_struct(png);
+  PngMemCursor cur{buf, len, 8};
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return false;
+  }
+  png_set_read_fn(png, &cur, png_mem_read);
+  png_set_sig_bytes(png, 8);
+  png_read_info(png, info);
+
+  png_set_strip_16(png);
+  png_set_strip_alpha(png);
+  png_set_palette_to_rgb(png);
+  png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_color_type(png, info) == PNG_COLOR_TYPE_GRAY ||
+      png_get_color_type(png, info) == PNG_COLOR_TYPE_GRAY_ALPHA)
+    png_set_gray_to_rgb(png);
+  png_read_update_info(png, info);
+
+  out->w = png_get_image_width(png, info);
+  out->h = png_get_image_height(png, info);
+  out->c = 3;
+  out->data.resize((size_t)out->w * out->h * 3);
+  std::vector<png_bytep> rows(out->h);
+  for (int y = 0; y < out->h; y++)
+    rows[y] = out->data.data() + (size_t)y * out->w * 3;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return true;
+}
+
 bool decode_png(const char* path, Image* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
@@ -386,6 +479,24 @@ bool decode_source(const char* path, int out_w, int out_h, bool exact,
   return decode_jpeg(path, exact ? 0 : out_w, exact ? 0 : out_h, img);
 }
 
+// Memory-source analog of decode_source: format sniffed from magic
+// bytes (PNG signature / JPEG SOI), original size always reported.
+bool decode_source_mem(const uint8_t* buf, size_t len, int out_w, int out_h,
+                       bool exact, Image* img, int* orig_w, int* orig_h) {
+  if (len >= 8 && !png_sig_cmp(buf, 0, 8)) {
+    if (!decode_png_mem(buf, len, img)) return false;
+    if (orig_w) { *orig_w = img->w; *orig_h = img->h; }
+    return true;
+  }
+  if (len >= 2 && buf[0] == 0xFF && buf[1] == 0xD8) {
+    // exact mode decodes at full resolution (parity with PIL); fast
+    // mode picks the largest safe DCT downscale
+    return decode_jpeg_mem(buf, len, exact ? 0 : out_w, exact ? 0 : out_h,
+                           img, orig_w, orig_h);
+  }
+  return false;
+}
+
 bool load_one(const char* path, int out_w, int out_h, bool hflip, bool vflip,
               const float* mean, const float* stdv, float* out,
               int* orig_w, int* orig_h, bool exact) {
@@ -584,6 +695,43 @@ int sdnet_load_batch_u8(const char** paths, int n, int out_w, int out_h,
   return good.load();
 }
 
-int sdnet_io_version() { return 3; }  // v3: uint8-output feed variants
+// In-memory decode (the serving request path: payload bytes -> resized
+// network-input pixels with no tempfile). Format sniffed from magic
+// bytes. Returns 1 on success; orig_w/orig_h receive the true size.
+int sdnet_decode_mem(const uint8_t* buf, long len, int out_w, int out_h,
+                     const float* mean, const float* stdv, float* out,
+                     int* orig_w, int* orig_h, int exact) {
+  Image img;
+  if (!decode_source_mem(buf, (size_t)len, out_w, out_h, exact != 0, &img,
+                         orig_w, orig_h))
+    return 0;
+  if (exact != 0) {
+    Image resized;
+    resample_pil(img, out_w, out_h, &resized);
+    finalize_exact(resized, false, false, mean, stdv, out);
+  } else {
+    resize_normalize(img, out_w, out_h, false, false, mean, stdv, out);
+  }
+  return 1;
+}
+
+// uint8-output variant: raw resized pixels (the on-device-normalize feed).
+int sdnet_decode_mem_u8(const uint8_t* buf, long len, int out_w, int out_h,
+                        uint8_t* out, int* orig_w, int* orig_h, int exact) {
+  Image img;
+  if (!decode_source_mem(buf, (size_t)len, out_w, out_h, exact != 0, &img,
+                         orig_w, orig_h))
+    return 0;
+  if (exact != 0) {
+    Image resized;
+    resample_pil(img, out_w, out_h, &resized);
+    finalize_u8(resized, false, false, out);
+  } else {
+    resize_u8(img, out_w, out_h, false, false, out);
+  }
+  return 1;
+}
+
+int sdnet_io_version() { return 4; }  // v4: in-memory decode (serving path)
 
 }  // extern "C"

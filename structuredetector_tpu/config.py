@@ -93,6 +93,15 @@ class Config:
     # params. A standard CenterNet-family training stabilizer the
     # reference lacks. One fused multiply-add pytree op per step.
     ema: float = 0.0
+    # Compile every multi-scale resolution bucket before the first epoch
+    # (default on): without it each of the 9 bucket shapes pays a cold
+    # jit mid-training, stalling a random epoch for the compile time and
+    # forcing --stall_timeout_s to stay loose. Pairs with
+    # --compile_cache for instant re-warm across runs.
+    prewarm: bool = True
+    # Persistent XLA compilation-cache directory ('' = off). With it,
+    # pre-warm and resumed runs reuse compiled programs across processes.
+    compile_cache: str = ""
 
     seed: int = DEFAULT_SEED
     # host-side loader threads; -1 = auto, min(cpu_count, 4) like the
@@ -373,6 +382,13 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="Per-step EMA decay for the params (e.g. 0.999); "
                         "validation and best-model snapshots use the "
                         "averaged weights. 0 disables.")
+    p.add_argument("--no_prewarm", dest="prewarm", action="store_false",
+                   default=d.prewarm,
+                   help="Skip compiling all multi-scale buckets at train "
+                        "start (buckets then compile cold mid-training).")
+    p.add_argument("--compile_cache", type=str, default=d.compile_cache,
+                   help="Persistent XLA compilation-cache directory "
+                        "(speeds up pre-warm and restarts; '' = off).")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--num_workers", type=int, default=d.num_workers,
                    help="Host-side data prefetch threads.")
@@ -468,6 +484,8 @@ def config_from_args(argv=None) -> Config:
         stall_timeout_s=max(0.0, ns.stall_timeout_s),
         malloc_trim=ns.malloc_trim,
         ema=ns.ema,
+        prewarm=ns.prewarm,
+        compile_cache=ns.compile_cache,
         seed=ns.seed,
         num_workers=ns.num_workers,
         native_io=ns.native_io or ns.native_io_fast,

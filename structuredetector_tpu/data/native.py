@@ -80,6 +80,22 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int), ctypes.c_int,
         ctypes.c_int,
     ]
+    if version >= 4:
+        lib.sdnet_decode_mem.restype = ctypes.c_int
+        lib.sdnet_decode_mem.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
+        lib.sdnet_decode_mem_u8.restype = ctypes.c_int
+        lib.sdnet_decode_mem_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int,
+        ]
     _LIB = lib
     return lib
 
@@ -133,6 +149,46 @@ def load_image(
         )
     if not r:
         raise IOError(f"native decode failed for {path}")
+    return out, (ow.value, oh.value)
+
+
+def decode_bytes(
+    data: bytes, out_w: int, out_h: int,
+    normalize: bool = True, exact: bool = True, dtype=np.float32,
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """In-memory decode+resize (the serving request path): JPEG/PNG
+    payload bytes -> ((out_h, out_w, 3), original (w, h)). Same
+    normalize/exact/dtype semantics as `load_image`; releases the GIL
+    inside the C++ decode, so concurrent request handlers scale.
+    Requires a v4+ native build."""
+    lib = _load()
+    assert lib is not None, "native IO library not built (make -C native)"
+    if lib.sdnet_io_version() < 4:
+        raise RuntimeError("native IO build too old for decode_bytes "
+                           "(rebuild: make -C native)")
+    buf = np.frombuffer(data, np.uint8)
+    ow, oh = ctypes.c_int(0), ctypes.c_int(0)
+    if dtype == np.uint8:
+        assert not normalize, "uint8 output is raw pixels (normalize=False)"
+        out = np.empty((out_h, out_w, 3), np.uint8)
+        r = lib.sdnet_decode_mem_u8(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_long(len(data)), out_w, out_h,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(ow), ctypes.byref(oh), int(exact),
+        )
+    else:
+        out = np.empty((out_h, out_w, 3), np.float32)
+        mean, std = (_MEAN, _STD) if normalize else (_RAW01_MEAN, _RAW01_STD)
+        r = lib.sdnet_decode_mem(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_long(len(data)), out_w, out_h,
+            _fptr(mean), _fptr(std), _fptr(out),
+            ctypes.byref(ow), ctypes.byref(oh), int(exact),
+        )
+    if not r:
+        raise IOError("native decode failed for in-memory payload "
+                      f"({len(data)} bytes)")
     return out, (ow.value, oh.value)
 
 

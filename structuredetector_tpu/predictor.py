@@ -18,11 +18,25 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from typing import NamedTuple
+
 from .annotations import ImageAnnotation, Object
 from .data.augment import PredictionTransformation
 from .data.decoders import Decoder
 from .models.network import init_model, resolve_variables
 from .train.steps import make_forward
+
+
+class PreparedImage(NamedTuple):
+    """An already-decoded-and-resized network input (e.g. from the
+    native in-memory decoder, `data.native.decode_bytes`): skips the
+    per-image PIL transform inside `predict_batch`. `array` must be
+    (net_h, net_w, 3) in the predictor's feed dtype (uint8 with
+    device_normalize, normalized float32 otherwise); `size` is the
+    original (w, h) the annotation is rescaled to."""
+
+    array: np.ndarray
+    size: Tuple[int, int]
 
 
 def tile_grid(
@@ -122,13 +136,19 @@ class Predictor:
             return []
         pils = []
         for im in images:
+            if isinstance(im, PreparedImage):
+                pils.append(im)
+                continue
             if not isinstance(im, Image.Image):
                 im = Image.open(im)
             if im.mode != "RGB":
                 im = im.convert("RGB")
             pils.append(im)
 
-        batch = jnp.asarray(np.stack([self.transform(im) for im in pils]))
+        batch = jnp.asarray(np.stack([
+            im.array if isinstance(im, PreparedImage) else self.transform(im)
+            for im in pils
+        ]))
         outputs = self._forward(self.variables, batch)
         annotations = self.decoder(outputs)
 

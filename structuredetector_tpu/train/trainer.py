@@ -186,6 +186,12 @@ class Trainer:
         self.is_lead = self.process_index == 0
         self.log = log and self.is_lead
 
+        if config.compile_cache:
+            # persistent XLA compilation cache: pre-warm and resumed runs
+            # reuse compiled programs across processes
+            jax.config.update("jax_compilation_cache_dir", str(config.compile_cache))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
         self.mesh = create_mesh(config.data_parallel, config.model_parallel)
         self.model, variables = init_model(config)
 
@@ -358,6 +364,68 @@ class Trainer:
             )
         return self._train_steps[key]
 
+    def prewarm(self):
+        """Compile every multi-scale resolution bucket before epoch 0.
+
+        Without this, each of the 9 bucket shapes
+        (`TrainAugmentation.ratios`, reference transforms.py:212) pays a
+        cold jit the first time its epoch rolls it, stalling a random
+        mid-training epoch for the compile time and forcing
+        --stall_timeout_s to stay far above a step time. The warm-up
+        executes one throwaway step per bucket on zero inputs (a dummy
+        state is donated, the real one is untouched), which both compiles
+        and primes jit's dispatch cache; with --compile_cache the
+        programs also persist across restarts. Returns the number of
+        bucket programs warmed."""
+        import time as _time
+
+        if self.process_count > 1:
+            # multi-host feeds globally-sharded arrays; a locally-built
+            # dummy batch would not match. Buckets compile cold there.
+            return 0
+        cfg = self.config
+        sizes = [self.train_augmentation.current_size]
+        if not cfg.no_augmentation:
+            for ratio in self.train_augmentation.ratios:
+                w = max(32, int(ratio * cfg.width / 32) * 32)
+                h = max(32, int(ratio * cfg.height / 32) * 32)
+                if (w, h) not in sizes:
+                    sizes.append((w, h))
+
+        img_dtype = (
+            jnp.uint8
+            if self.train_augmentation.device_augment
+            and self.train_augmentation.uint8_feed
+            else jnp.float32
+        )
+        b = cfg.batch_size
+        kp = {
+            "anchors_xy": jnp.zeros((b, cfg.max_objects, 2), jnp.float32),
+            "anchor_cls": jnp.zeros((b, cfg.max_objects), jnp.int32),
+            "anchor_mask": jnp.zeros((b, cfg.max_objects), bool),
+            "parts_xy": jnp.zeros((b, cfg.max_parts, 2), jnp.float32),
+            "part_kind": jnp.zeros((b, cfg.max_parts), jnp.int32),
+            "part_owner_xy": jnp.zeros((b, cfg.max_parts, 2), jnp.float32),
+            "part_mask": jnp.zeros((b, cfg.max_parts), bool),
+        }
+        t0 = _time.monotonic()
+        for w, h in sizes:
+            step_fn = self._train_step_for(h, w)
+            dummy_state = jax.tree.map(jnp.zeros_like, self.state)
+            images = jnp.zeros((b, h, w, 3), img_dtype)
+            out_state, stats = step_fn(dummy_state, images, kp)
+            jax.block_until_ready(stats)
+            del dummy_state, out_state
+            if self._watchdog is not None:
+                self._watchdog.beat()
+        if self.is_lead:
+            print(
+                f"Pre-warmed {len(sizes)} resolution buckets in "
+                f"{_time.monotonic() - t0:.1f}s: "
+                + ", ".join(f"{w}x{h}" for w, h in sizes)
+            )
+        return len(sizes)
+
     def _eval_step_fn(self):
         if self._eval_step is None:
             out_w, out_h = self.config.grid_size()
@@ -396,6 +464,8 @@ class Trainer:
         if self.config.stall_timeout_s > 0:
             self._watchdog = StallWatchdog(self.config.stall_timeout_s).start()
         try:
+            if self.config.prewarm:
+                self.prewarm()
             for epoch in tqdm(range(start_epoch, self.config.epochs),
                               initial=start_epoch, total=self.config.epochs,
                               desc="Training", unit="epoch"):

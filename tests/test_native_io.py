@@ -294,3 +294,31 @@ def test_load_image_u8_fast_mode_close_to_float(jpeg_file):
                                exact=False)
     err = np.abs(u8.astype(np.float32) / 255.0 - f32).max()
     assert err <= 0.5 / 255 + 1e-6
+
+
+def test_decode_bytes_jpeg_matches_load_image(jpeg_file):
+    """In-memory decode (serving path) == file decode, exact mode."""
+    data = jpeg_file.read_bytes()
+    mem, size_mem = native.decode_bytes(data, 64, 48)
+    file, size_file = native.load_image(jpeg_file, 64, 48)
+    assert size_mem == size_file == (128, 96)
+    np.testing.assert_array_equal(mem, file)
+
+
+def test_decode_bytes_png_u8_matches_pil(png_file):
+    data = png_file.read_bytes()
+    mem, size = native.decode_bytes(data, 32, 24, normalize=False,
+                                    dtype=np.uint8)
+    assert size == (70, 50)
+    pil = np.asarray(
+        Image.open(png_file).convert("RGB").resize((32, 24), Image.BILINEAR)
+    )
+    np.testing.assert_array_equal(mem, pil)
+
+
+def test_decode_bytes_rejects_garbage():
+    with pytest.raises(IOError):
+        native.decode_bytes(b"not an image at all", 32, 32)
+    with pytest.raises(IOError):
+        # truncated JPEG: valid SOI marker, nothing else
+        native.decode_bytes(b"\xff\xd8\xff\xe0trunc", 32, 32)
