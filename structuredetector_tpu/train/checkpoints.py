@@ -65,9 +65,14 @@ class BestModelSaver:
         self.best_csi = 0.0
         self.best_classif = 0.0
         self.best_kp_reg = 0.0
+        # epoch each snapshot was captured at (-1 = never): the
+        # reference's conditional policy can freeze a "best" checkpoint
+        # at epoch 2 and say nothing (a metric that ticks once early and
+        # flatlines); staleness() makes that visible at the end of a run
+        self.captured_epoch = {k: -1 for k in ("loss", "csi", "classif", "kp_reg")}
 
     def update(self, variables: Any, *, loss: float, csi_f1: float,
-               classif_f1: float, kp_f1: float) -> list:
+               classif_f1: float, kp_f1: float, epoch: int = -1) -> list:
         saved = []
         if loss < self.best_loss:
             self.best_loss = loss
@@ -85,4 +90,22 @@ class BestModelSaver:
             self.best_kp_reg = kp_f1
             save_params(variables, self.save_dir / "model_best_kp_reg.msgpack")
             saved.append("kp_reg")
+        for k in saved:
+            self.captured_epoch[k] = epoch
         return saved
+
+    def staleness_report(self, final_epoch: int, stale_after: int = 10) -> list:
+        """Human-readable capture ages; entries more than `stale_after`
+        epochs older than the run's end are flagged STALE."""
+        lines = []
+        for k, e in self.captured_epoch.items():
+            if e < 0:
+                continue
+            age = final_epoch - e
+            flag = "  <-- STALE: metric froze early, prefer another snapshot" \
+                if age > stale_after else ""
+            lines.append(
+                f"model_best_{k}.msgpack: captured at epoch {e} "
+                f"({age} epochs before the end){flag}"
+            )
+        return lines

