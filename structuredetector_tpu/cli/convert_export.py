@@ -25,6 +25,9 @@ def parse_args(argv=None):
                    help="Json file of anchor and part names.")
     p.add_argument("--scale-factor", "-s", type=int, default=4)
     p.add_argument("--fpn-depth", type=int, default=128)
+    p.add_argument("--head_conv", type=int, default=0,
+                   help="Hidden head width the checkpoint was trained "
+                        "with (must match; 0 = single-1x1 head).")
     p.add_argument("--anchor_name", type=str, default="anchor")
     p.add_argument("--batch_size", "-b", type=int, default=1,
                    help="Static batch size baked into the artifact.")
@@ -87,7 +90,7 @@ def main(argv=None):
     config = Config(
         width=args.width, height=args.height, fpn_depth=args.fpn_depth,
         down_ratio=float(args.scale_factor), anchor_name=args.anchor_name,
-        int8=args.int8,
+        int8=args.int8, head_conv=max(0, args.head_conv),
     ).set_labels(names["labels"], names["parts"])
     config.validate()
 

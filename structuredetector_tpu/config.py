@@ -146,6 +146,12 @@ class Config:
     # taps then train freely, so an s2d-trained checkpoint requires this
     # flag to load.
     s2d_stem: bool = False
+    # Hidden head width: 0 = the reference's single shared 1x1 head.
+    # > 0 inserts a 3x3 conv + ReLU before the 1x1 (the standard
+    # CenterNet head shape) — extra local capacity for the regression
+    # outputs; changes the checkpoint layout (pass the same value at
+    # evaluate/detect/export time).
+    head_conv: int = 0
     # Int8 inference: residual-block + FPN convs quantize dynamically to
     # s8xs8->s32 MXU ops (2x bf16 peak on v5e). Inference only — train
     # rejects it. See models/quantize.py.
@@ -418,6 +424,11 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="Space-to-depth stem: equivalent 4x4/1 conv on 12 "
                         "channels instead of 7x7/2 on 3 (faster on the MXU; "
                         "changes the checkpoint stem layout).")
+    p.add_argument("--head_conv", type=int, default=d.head_conv,
+                   help="Hidden 3x3 head width before the 1x1 output conv "
+                        "(0 = reference single-1x1 head). Changes the "
+                        "checkpoint layout; pass the same value when "
+                        "evaluating/exporting the checkpoint.")
     p.add_argument("--int8", action="store_true",
                    help="Int8 inference mode: dynamic activation + "
                         "per-channel weight quantization on the MXU "
@@ -495,6 +506,7 @@ def config_from_args(argv=None) -> Config:
         pretrained_backbone=ns.pretrained_backbone,
         backbone=ns.backbone,
         s2d_stem=ns.s2d_stem,
+        head_conv=max(0, ns.head_conv),
         int8=ns.int8,
         debug_nans=ns.debug_nans,
         resume_dir=_opt_path(ns.resume_dir),

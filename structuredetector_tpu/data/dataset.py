@@ -61,6 +61,11 @@ class CropDataset:
             getattr(self.config, "native_io", False)
             and self.transform is not None
             and hasattr(self.transform, "native_apply")
+            # per-item native decode requires the device-augment feed:
+            # host-augment / --no_augmentation items fall through to PIL
+            # (hasattr alone is always true for TrainAugmentation and
+            # used to crash here under --native_io --no_augmentation)
+            and getattr(self.transform, "device_augment", False)
         ):
             from . import native
 

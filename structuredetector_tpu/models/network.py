@@ -82,6 +82,12 @@ class SDNet(nn.Module):
     # 3- and M+N+4-channel contractions; the head feeds decode thresholds).
     # Inference-only: training with int8 is rejected.
     int8: bool = False
+    # Hidden head width: 0 = the reference's single 1x1 head
+    # (network.py:22-29). > 0 inserts a 3x3 conv + ReLU before the 1x1
+    # (the standard CenterNet head) — gives the regression outputs
+    # (embeddings especially) local capacity the thin shared 1x1 lacks;
+    # see DESIGN.md "Structural grouping".
+    head_conv: int = 0
 
     @property
     def out_channels(self) -> int:
@@ -110,6 +116,11 @@ class SDNet(nn.Module):
         f1 = FpnBlock(self.fpn_depth, dtype=self.dtype, int8=self.int8,
                       name="up4")(f2, c2, train=train)
 
+        if self.head_conv > 0:
+            f1 = nn.relu(nn.Conv(
+                self.head_conv, (3, 3), padding=1, use_bias=True,
+                dtype=self.dtype, name="head_hidden",
+            )(f1))
         out = nn.Conv(
             self.out_channels, (1, 1), use_bias=True, dtype=self.dtype, name="head"
         )(f1)
@@ -136,6 +147,7 @@ def build_model(config, dtype: Optional[jnp.dtype] = None) -> SDNet:
         s2d_stem=getattr(config, "s2d_stem", False),
         backbone=getattr(config, "backbone", "resnet34"),
         int8=getattr(config, "int8", False),
+        head_conv=getattr(config, "head_conv", 0),
     )
 
 
@@ -145,12 +157,13 @@ import functools
 @functools.lru_cache(maxsize=16)
 def _cached_init_fn(n_labels: int, n_parts: int, fpn_depth: int, dtype_name: str,
                     h: int, w: int, c: int, s2d_stem: bool = False,
-                    backbone: str = "resnet34"):
+                    backbone: str = "resnet34", head_conv: int = 0):
     """One compiled init program per unique model signature per process
     (plain `jax.jit(lambda ...)` would recompile for every new lambda)."""
     model = SDNet(
         n_labels=n_labels, n_parts=n_parts, fpn_depth=fpn_depth,
         dtype=jnp.dtype(dtype_name), s2d_stem=s2d_stem, backbone=backbone,
+        head_conv=head_conv,
     )
     dummy = jnp.zeros((1, h, w, c), jnp.float32)
     return jax.jit(lambda rng: model.init(rng, dummy, train=False))
@@ -168,6 +181,7 @@ def init_model(
         jnp.dtype(config.compute_dtype).name, h, w, config.in_channels,
         getattr(config, "s2d_stem", False),
         getattr(config, "backbone", "resnet34"),
+        getattr(config, "head_conv", 0),
     )
     return model, init_fn(rng)
 

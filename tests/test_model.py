@@ -265,3 +265,24 @@ def test_pretrained_backbone_warm_start(tiny_config, tmp_path, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(warmed["params"]["head"]["kernel"]), np.asarray(p["head"]["kernel"])
     )
+
+
+def test_head_conv_deep_head(tiny_config):
+    """--head_conv N inserts a 3x3+ReLU hidden conv before the 1x1 head;
+    output shapes/splits are unchanged and the param tree gains exactly
+    the hidden conv."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from structuredetector_tpu.models.network import init_model
+
+    cfg = dataclasses.replace(tiny_config, head_conv=32)
+    model, variables = init_model(cfg)
+    assert "head_hidden" in variables["params"]
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out["anchor_hm"].shape == (1, 16, 16, 2)
+    assert out["embeddings"].shape == (1, 16, 16, 2)
+
+    base_model, base_vars = init_model(tiny_config)
+    assert "head_hidden" not in base_vars["params"]

@@ -322,3 +322,31 @@ def test_decode_bytes_rejects_garbage():
     with pytest.raises(IOError):
         # truncated JPEG: valid SOI marker, nothing else
         native.decode_bytes(b"\xff\xd8\xff\xe0trunc", 32, 32)
+
+
+def test_dataset_item_falls_back_to_pil_without_device_augment(tmp_path):
+    """--native_io (default) + --no_augmentation must fall back to the
+    PIL item path, not crash in TrainAugmentation.native_apply (which
+    requires the device-augment feed). Regression: hasattr(native_apply)
+    is always true for TrainAugmentation; the device_augment gate lives
+    in CropDataset.__getitem__."""
+    import json
+
+    from structuredetector_tpu.config import Config
+    from structuredetector_tpu.data import CropDataset, TrainAugmentation
+
+    img = Image.fromarray(smooth_image(64, 64))
+    img.save(tmp_path / "im.jpg")
+    (tmp_path / "im.json").write_text(json.dumps({
+        "image_path": str(tmp_path / "im.jpg"), "img_size": [64, 64],
+        "objects": [{"label": "bean", "box": None, "parts": [
+            {"kind": "stem", "location": {"x": 30, "y": 30}, "score": None},
+        ]}],
+    }))
+    cfg = Config(width=64, height=64, no_augmentation=True, native_io=True,
+                 max_objects=4, max_parts=8, use_amp=False)
+    cfg.set_labels(["bean", "maize"], ["leaf"])
+    cfg.anchor_name = "stem"
+    ds = CropDataset(cfg, tmp_path, TrainAugmentation(cfg))
+    sample = ds[0]  # used to raise AttributeError
+    assert sample["image"].shape == (64, 64, 3)
