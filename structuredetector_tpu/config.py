@@ -152,6 +152,13 @@ class Config:
     # outputs; changes the checkpoint layout (pass the same value at
     # evaluate/detect/export time).
     head_conv: int = 0
+    # Train-time flip probability (h and v independently). 0.5 matches
+    # the reference's intent (its randn quirk actually flips ~69%,
+    # reproducible via data.augment legacy_flip). Flip augmentation
+    # interacts with the embedding head: displacement targets flip SIGN
+    # with the image, so the net must break mirror-equivariance to
+    # regress them — see DESIGN.md "Structural grouping". 0 disables.
+    flip_prob: float = 0.5
     # Int8 inference: residual-block + FPN convs quantize dynamically to
     # s8xs8->s32 MXU ops (2x bf16 peak on v5e). Inference only — train
     # rejects it. See models/quantize.py.
@@ -424,6 +431,9 @@ def build_parser(parser: Optional[argparse.ArgumentParser] = None) -> argparse.A
                    help="Space-to-depth stem: equivalent 4x4/1 conv on 12 "
                         "channels instead of 7x7/2 on 3 (faster on the MXU; "
                         "changes the checkpoint stem layout).")
+    p.add_argument("--flip_prob", type=float, default=d.flip_prob,
+                   help="Train-time h/v flip probability (0 disables "
+                        "flip augmentation; 0.5 = reference intent).")
     p.add_argument("--head_conv", type=int, default=d.head_conv,
                    help="Hidden 3x3 head width before the 1x1 output conv "
                         "(0 = reference single-1x1 head). Changes the "
@@ -507,6 +517,7 @@ def config_from_args(argv=None) -> Config:
         backbone=ns.backbone,
         s2d_stem=ns.s2d_stem,
         head_conv=max(0, ns.head_conv),
+        flip_prob=min(1.0, max(0.0, ns.flip_prob)),
         int8=ns.int8,
         debug_nans=ns.debug_nans,
         resume_dir=_opt_path(ns.resume_dir),

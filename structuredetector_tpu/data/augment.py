@@ -308,11 +308,12 @@ class TrainAugmentation:
                 Flatten(config),
             ]
         else:
+            fp = getattr(config, "flip_prob", 0.5)
             transforms = [
                 Resize((config.width, config.height)),
                 RandomColorJitter(rng=self.rng),
-                RandomHorizontalFlip(rng=self.rng, legacy_flip=legacy_flip),
-                RandomVerticalFlip(rng=self.rng, legacy_flip=legacy_flip),
+                RandomHorizontalFlip(prob=fp, rng=self.rng, legacy_flip=legacy_flip),
+                RandomVerticalFlip(prob=fp, rng=self.rng, legacy_flip=legacy_flip),
                 Normalize(),
                 Flatten(config),
             ]

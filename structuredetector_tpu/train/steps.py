@@ -79,7 +79,10 @@ def make_train_step(
             else:
                 images = images.astype(model.dtype)
             key = jax.random.fold_in(jax.random.PRNGKey(config.seed), state.step)
-            images, kp = device_augment(images, kp, key, out_w=out_w, out_h=out_h)
+            images, kp = device_augment(
+                images, kp, key, out_w=out_w, out_h=out_h,
+                flip_prob=getattr(config, "flip_prob", 0.5),
+            )
         targets = _encode_batch(kp, config, out_h, out_w)
 
         def loss_fn(params):

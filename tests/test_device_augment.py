@@ -109,6 +109,16 @@ def test_random_flips_match_host_semantics(rng):
         np.asarray(out_kp["parts_xy"][0, 0]), np.asarray(want["parts_xy"][0, 0]),
         atol=1e-5,
     )
+    # owner coords mirror with everything else, so the embedding target
+    # (owner - part) flips sign on x — the property the embedding head
+    # trains against (see DESIGN.md "Structural grouping")
+    np.testing.assert_allclose(
+        np.asarray(out_kp["part_owner_xy"][0, 0]),
+        np.asarray(want["part_owner_xy"][0, 0]), atol=1e-5,
+    )
+    emb_before = np.asarray(kp["part_owner_xy"][0, 0]) - np.asarray(kp["parts_xy"][0, 0])
+    emb_after = np.asarray(out_kp["part_owner_xy"][0, 0]) - np.asarray(out_kp["parts_xy"][0, 0])
+    np.testing.assert_allclose(emb_after, emb_before * np.array([-1.0, 1.0]), atol=1e-5)
 
 
 def test_device_augment_end_to_end(rng):
