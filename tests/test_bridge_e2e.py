@@ -36,6 +36,11 @@ def load_reference_network():
         sys.path.insert(0, REFERENCE_SRC)
     from sdnet.model import network as ref_network
 
+    # The reference binds `from torchvision.models import resnet34` at
+    # module scope; if another test already imported sdnet.model with the
+    # inert stub (lambda -> None), that local name is frozen — rebind it
+    # so this test is order-independent.
+    ref_network.resnet34 = resnet34
     return ref_network
 
 
