@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
@@ -36,7 +37,8 @@ def main(argv=None):
         config.valid_dir, PredictionTransformation(config, device_normalize=True)
     )
     model, init_vars = init_model(config)
-    variables = resolve_variables(config.pretrained_model, init_vars)
+    # device-resident weights: numpy args re-upload per jit call (DESIGN.md)
+    variables = jax.device_put(resolve_variables(config.pretrained_model, init_vars))
     decoder = Decoder(config)
     forward = make_forward(model, from_uint8=True)
 

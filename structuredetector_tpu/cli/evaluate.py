@@ -7,6 +7,7 @@ metric tables, optionally exports the keypoint CSV.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from tqdm import tqdm
 
@@ -33,7 +34,8 @@ def main(argv=None):
                     batch_fetch=choose_batch_fetch(config, dataset, augmentation))
 
     model, init_vars = init_model(config)
-    variables = resolve_variables(config.pretrained_model, init_vars)
+    # device-resident weights: numpy args re-upload per jit call (DESIGN.md)
+    variables = jax.device_put(resolve_variables(config.pretrained_model, init_vars))
     decoder = Decoder(config)
     forward = make_forward(model)
 

@@ -14,6 +14,7 @@ import math
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from PIL import Image
@@ -118,7 +119,12 @@ class Predictor:
         path = model_path or config.pretrained_model
         if path:
             variables = resolve_variables(path, variables)
-        self.variables = variables
+        # Commit the weights to the device ONCE: jit does not cache host
+        # numpy arguments, so leaving these as the loader's numpy arrays
+        # re-uploads all ~200 leaves on every predict_batch call — ~1.4 s
+        # per batch over a high-latency device link (measured round 4,
+        # DESIGN.md "Serving").
+        self.variables = jax.device_put(variables)
         self.transform = PredictionTransformation(
             config, device_normalize=device_normalize
         )

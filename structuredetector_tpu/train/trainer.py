@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from datetime import datetime
 from pathlib import Path
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +97,36 @@ def host_rss_mb() -> float:
 
 
 STALL_EXIT_CODE = 87
+
+
+def embedding_plateau_warning(
+    first: Dict[str, float], current: Dict[str, float]
+) -> Optional[str]:
+    """Detect the round-4 grouping failure mode while the run is cheap
+    to restart (DESIGN.md "Structural grouping (CSI) — round-4
+    diagnosis"): with a too-small --embedding_weight the trunk's
+    gradients are heatmap-dominated, the embedding head never trains,
+    and keypoint metrics look excellent while CSI/classif collapse.
+    Signature: the weighted heatmap loss has dropped 5x or more since
+    the first validation while the weighted embedding loss moved < 10%.
+    Returns the warning text, or None when healthy/not applicable."""
+    emb0 = first.get("embedding_loss", 0.0)
+    hm0 = first.get("hm_loss", 0.0)
+    emb = current.get("embedding_loss", 0.0)
+    hm = current.get("hm_loss", 0.0)
+    if emb0 <= 0.0 or hm0 <= 0.0:  # no parts / embedding_weight 0
+        return None
+    if hm < 0.2 * hm0 and emb > 0.9 * emb0:
+        return (
+            "WARNING: the embedding loss has not moved "
+            f"({emb0:.4g} -> {emb:.4g}) while the heatmap loss dropped "
+            f"{hm0 / max(hm, 1e-12):.0f}x. The embedding head is likely "
+            "not training: keypoint metrics will look good but "
+            "part-to-anchor grouping (CSI/classification) will collapse. "
+            "Consider a larger --embedding_weight (see DESIGN.md "
+            "'Structural grouping')."
+        )
+    return None
 
 
 class StallWatchdog:
@@ -296,6 +326,8 @@ class Trainer:
         self._preempted = False
         self._current_epoch = 0
         self._watchdog: StallWatchdog | None = None
+        self._first_val_losses: Dict[str, float] | None = None
+        self._warned_embedding_plateau = False
 
     # -- preemption (SURVEY.md §5 failure detection) ---------------------
 
@@ -627,6 +659,14 @@ class Trainer:
 
         loss_avg = {k: v / max(n, 1) for k, v in loss_sums.items()}
         summary = self.evaluator.scalar_summary()
+
+        if self._first_val_losses is None:
+            self._first_val_losses = dict(loss_avg)
+        elif self.is_lead and not self._warned_embedding_plateau:
+            warning = embedding_plateau_warning(self._first_val_losses, loss_avg)
+            if warning is not None:
+                print(warning)
+                self._warned_embedding_plateau = True
 
         if self.is_lead:
             self.best_models.update(

@@ -172,6 +172,24 @@ def test_microbatcher_close_fails_queued_items_when_worker_hung():
     t1.join(timeout=5)
 
 
+def test_predictor_variables_are_device_committed():
+    """Weights must be jax.Arrays after init: numpy leaves re-upload on
+    EVERY jit call (no host-argument caching), which measured ~1.4 s per
+    serve batch over the high-latency device link (round 4)."""
+    import jax
+
+    from structuredetector_tpu.config import Config
+    from structuredetector_tpu.predictor import Predictor
+
+    cfg = Config(width=32, height=32, max_objects=2, max_parts=4, fpn_depth=8,
+                 use_amp=False)
+    cfg.set_labels(["bean"], ["leaf"])
+    cfg.anchor_name = "stem"
+    predictor = Predictor(cfg)
+    leaves = jax.tree_util.tree_leaves(predictor.variables)
+    assert leaves and all(isinstance(l, jax.Array) for l in leaves)
+
+
 @pytest.mark.slow  # compiles the full model
 def test_http_server_end_to_end():
     from structuredetector_tpu.config import Config

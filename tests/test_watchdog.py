@@ -50,3 +50,37 @@ def test_rejects_nonpositive_timeout():
 def test_exit_code_is_stable_contract():
     # tools/train_supervised.sh keys off this value
     assert STALL_EXIT_CODE == 87
+
+
+# -- embedding-plateau warning (round-4 grouping failure detector) -------
+
+def test_embedding_plateau_detected():
+    from structuredetector_tpu.train.trainer import embedding_plateau_warning
+
+    first = {"hm_loss": 750.0, "embedding_loss": 0.024}
+    stuck = {"hm_loss": 5.0, "embedding_loss": 0.0235}
+    msg = embedding_plateau_warning(first, stuck)
+    assert msg is not None and "--embedding_weight" in msg
+
+
+def test_embedding_plateau_healthy_run_silent():
+    from structuredetector_tpu.train.trainer import embedding_plateau_warning
+
+    first = {"hm_loss": 750.0, "embedding_loss": 24.0}
+    healthy = {"hm_loss": 5.0, "embedding_loss": 1.7}
+    assert embedding_plateau_warning(first, healthy) is None
+
+
+def test_embedding_plateau_not_applicable():
+    from structuredetector_tpu.train.trainer import embedding_plateau_warning
+
+    # embedding_weight 0 / no parts: loss identically 0, never warn
+    assert embedding_plateau_warning(
+        {"hm_loss": 10.0, "embedding_loss": 0.0},
+        {"hm_loss": 1.0, "embedding_loss": 0.0},
+    ) is None
+    # heatmap loss still high: too early to judge
+    assert embedding_plateau_warning(
+        {"hm_loss": 10.0, "embedding_loss": 1.0},
+        {"hm_loss": 9.0, "embedding_loss": 1.0},
+    ) is None
