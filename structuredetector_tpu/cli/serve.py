@@ -34,6 +34,13 @@ def main(argv=None):
                    help="Serve an exported .sdz artifact instead of a "
                         "checkpoint (no other model flags needed; decode "
                         "parameters come from the embedded metadata).")
+    p.add_argument("--pipeline", action="store_true",
+                   help="Depth-2 serving pipeline: host prep/transfer of "
+                        "batch N+1 overlaps device work of batch N. Wins "
+                        "when host and device phases overlap for real "
+                        "(TPU VM); on a serialized/tunneled transfer "
+                        "layer the synchronous default measures faster "
+                        "(DESIGN.md 'Serving throughput').")
     p.add_argument("--no_warmup", action="store_true",
                    help="Skip pre-compiling the power-of-two batch shapes "
                         "at startup (first request per shape then pays "
@@ -85,7 +92,8 @@ def main(argv=None):
           f"POST /detect, GET /healthz")
     run_server(predictor, args.host, args.port,
                max_batch=args.max_batch, window_ms=args.batch_window_ms,
-               submit_timeout_s=args.submit_timeout_s)
+               submit_timeout_s=args.submit_timeout_s,
+               pipeline=args.pipeline)
 
 
 if __name__ == "__main__":

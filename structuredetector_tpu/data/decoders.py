@@ -99,6 +99,50 @@ class Decoder:
         anchors, parts, part_parent, part_valid = jax.device_get(
             (dec["anchors"], dec["parts"], dec["part_parent"], dec["part_valid"])
         )
+        annotations = self.materialize(
+            anchors, parts, part_parent, part_valid, (out_h, out_w), conf_thresh
+        )
+
+        if not return_metadata:
+            return annotations
+
+        # conf-filtered raw (pre-grouping) parts, rescaled to input pixels
+        # (decoders.py:143-159); keeps score >= conf (strict < skip).
+        b = anchors.shape[0]
+        raw_parts = []
+        for b_i in range(b):
+            raw_b = []
+            for i in range(self.max_parts):
+                p = parts[b_i, i]
+                score = float(p[2])
+                if score < conf_thresh:
+                    continue
+                kp = Keypoint(self.part_map[int(p[3])], float(p[0]), float(p[1]), score)
+                raw_b.append(kp.resize((out_w, out_h), (in_w, in_h)))
+            raw_parts.append(raw_b)
+
+        return {
+            "annotation": annotations,
+            "anchor_hm_sig": dec["anchor_hm_sig"],
+            "part_hm_sig": dec["part_hm_sig"],
+            "embeddings": dec["embeddings"],
+            "anchors": anchors,
+            "parts": parts,
+            "raw_parts": raw_parts,
+            "raw_embeddings": outputs["embeddings"],
+            "raw_offsets": outputs["offsets"],
+        }
+
+    def materialize(self, anchors, parts, part_parent, part_valid,
+                    out_hw, conf_thresh):
+        """Host phase: fetched numpy detection arrays -> annotations.
+
+        Split out from `__call__` so a pipelined caller (serve's
+        depth-2 pipeline, `Predictor.predict_batch_submit/collect`)
+        can run the device phase of batch N+1 before this host phase
+        of batch N."""
+        out_h, out_w = out_hw
+        in_h, in_w = int(self.down_ratio * out_h), int(self.down_ratio * out_w)
 
         annotations = []
         b = anchors.shape[0]
@@ -136,34 +180,7 @@ class Decoder:
                 image_annotation.resize((out_w, out_h), (in_w, in_h))
             )
 
-        if not return_metadata:
-            return annotations
-
-        # conf-filtered raw (pre-grouping) parts, rescaled to input pixels
-        # (decoders.py:143-159); keeps score >= conf (strict < skip).
-        raw_parts = []
-        for b_i in range(b):
-            raw_b = []
-            for i in range(self.max_parts):
-                p = parts[b_i, i]
-                score = float(p[2])
-                if score < conf_thresh:
-                    continue
-                kp = Keypoint(self.part_map[int(p[3])], float(p[0]), float(p[1]), score)
-                raw_b.append(kp.resize((out_w, out_h), (in_w, in_h)))
-            raw_parts.append(raw_b)
-
-        return {
-            "annotation": annotations,
-            "anchor_hm_sig": dec["anchor_hm_sig"],
-            "part_hm_sig": dec["part_hm_sig"],
-            "embeddings": dec["embeddings"],
-            "anchors": anchors,
-            "parts": parts,
-            "raw_parts": raw_parts,
-            "raw_embeddings": outputs["embeddings"],
-            "raw_offsets": outputs["offsets"],
-        }
+        return annotations
 
 
 class ExportDecoder(Decoder):

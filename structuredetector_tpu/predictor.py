@@ -138,8 +138,19 @@ class Predictor:
     def predict_batch(
         self, images: Sequence[Union[Image.Image, str, Path]]
     ) -> List[ImageAnnotation]:
+        return self.predict_batch_collect(self.predict_batch_submit(images))
+
+    def predict_batch_submit(self, images: Sequence) -> Optional[tuple]:
+        """Device half of `predict_batch`: prep + transfer + forward +
+        fixed-shape device decode, all dispatched WITHOUT fetching
+        results. Returns an opaque handle for `predict_batch_collect`.
+
+        The split exists for pipelined serving (serve.MicroBatcher):
+        batch N+1's host prep and transfer overlap batch N's device
+        compute and result fetch, so serving throughput is set by
+        max(host phase, device phase) instead of their sum."""
         if not images:
-            return []
+            return None
         pils = []
         for im in images:
             if isinstance(im, PreparedImage):
@@ -156,7 +167,26 @@ class Predictor:
             for im in pils
         ]))
         outputs = self._forward(self.variables, batch)
-        annotations = self.decoder(outputs)
+        cfg = self.config
+        dec = self.decoder.decode_arrays(
+            outputs, cfg.conf_threshold, cfg.decoder_dist_thresh
+        )
+        out_hw = outputs["anchor_hm"].shape[1:3]
+        return dec, out_hw, pils
+
+    def predict_batch_collect(self, handle) -> List[ImageAnnotation]:
+        """Host half of `predict_batch`: fetch the decode arrays of a
+        `predict_batch_submit` handle and build the annotations."""
+        if handle is None:
+            return []
+        dec, out_hw, pils = handle
+        anchors, parts, part_parent, part_valid = jax.device_get(
+            (dec["anchors"], dec["parts"], dec["part_parent"], dec["part_valid"])
+        )
+        annotations = self.decoder.materialize(
+            anchors, parts, part_parent, part_valid, out_hw,
+            self.config.conf_threshold,
+        )
 
         for ann, im in zip(annotations, pils):
             ann.resize((self.config.width, self.config.height), im.size)

@@ -55,10 +55,16 @@ class MicroBatcher:
 
     def __init__(self, predict_batch, max_batch: int = 8,
                  window_ms: float = 5.0,
-                 submit_timeout_s: Optional[float] = None):
+                 submit_timeout_s: Optional[float] = None,
+                 predict_split: Optional[tuple] = None):
         if max_batch < 1:
             raise ValueError("max_batch must be >= 1")
         self._predict = predict_batch
+        # (submit, collect) pair enables the depth-2 pipeline: batch
+        # N+1's host prep + device dispatch run before batch N's result
+        # fetch, so steady-state throughput is max(host, device) phase
+        # instead of their sum (Predictor.predict_batch_submit).
+        self._split = predict_split
         self.max_batch = max_batch
         self.window_s = window_ms / 1e3
         self.submit_timeout_s = submit_timeout_s
@@ -148,44 +154,157 @@ class MicroBatcher:
                     "batcher shut down while the device worker was hung")
                 done.set()
 
+    def _gather_window(self, first) -> tuple:
+        """(items, saw_shutdown): wait up to the batching window for
+        more requests after the first arrival."""
+        items = [first]
+        deadline = time.monotonic() + self.window_s
+        while len(items) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is _SHUTDOWN:
+                return items, True
+            items.append(nxt)
+        return items, False
+
+    def _drain_now(self, first) -> tuple:
+        """(items, saw_shutdown): take whatever is already queued, no
+        waiting — used while a pipelined batch is in flight (the device
+        time IS the batching window then)."""
+        items = [first]
+        while len(items) < self.max_batch:
+            try:
+                nxt = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if nxt is _SHUTDOWN:
+                return items, True
+            items.append(nxt)
+        return items, False
+
     def _loop(self):
+        if self._split is not None:
+            self._loop_pipelined()
+            return
         try:
             while True:
                 first = self._queue.get()
                 if first is _SHUTDOWN:
                     return
-                items = [first]
-                deadline = time.monotonic() + self.window_s
-                while len(items) < self.max_batch:
-                    remaining = deadline - time.monotonic()
-                    if remaining <= 0:
-                        break
-                    try:
-                        nxt = self._queue.get(timeout=remaining)
-                    except queue.Empty:
-                        break
-                    if nxt is _SHUTDOWN:
-                        self._run(items)
-                        return
-                    items.append(nxt)
+                items, saw_shutdown = self._gather_window(first)
                 self._run(items)
+                if saw_shutdown:
+                    return
         finally:
-            # whether via _SHUTDOWN or a worker crash, never leave a
-            # waiter blocked: mark closed and fail anything still queued.
-            # Under the lock, so no submit() can slip an item in between
-            # the closed-flag check and the drain.
-            with self._lock:
-                self._closed = True
-                while True:
+            self._drain_on_exit()
+
+    def _loop_pipelined(self):
+        """Depth-2 pipeline over the (submit, collect) split: submit
+        batch N+1 to the device BEFORE collecting batch N's results, so
+        host prep/transfer and device compute overlap."""
+        submit, collect = self._split
+        pending = None  # (items, handle) in flight on the device
+        shutdown = False
+        try:
+            while True:
+                items = []
+                if pending is None:
+                    first = self._queue.get()
+                    if first is _SHUTDOWN:
+                        return
+                    items, shutdown = self._gather_window(first)
+                else:
+                    # while a batch is in flight, still honor the
+                    # batching window: unfilled early submits fragment
+                    # batches under saturation (padding then wastes the
+                    # device on pad rows — measured 44.8 -> 27 img/s
+                    # with a no-wait drain here)
                     try:
-                        leftover = self._queue.get_nowait()
+                        first = self._queue.get(timeout=self.window_s)
+                        if first is _SHUTDOWN:
+                            shutdown = True
+                        else:
+                            items, shutdown = self._gather_window(first)
                     except queue.Empty:
-                        break
-                    if leftover is _SHUTDOWN:
-                        continue
-                    _, done, slot = leftover
-                    slot["error"] = RuntimeError("batcher shut down")
-                    done.set()
+                        pass
+
+                nxt = None
+                if items:
+                    try:
+                        nxt = (items, self._submit_batch(submit, items))
+                    except BaseException as e:
+                        self._fail_items(items, e)
+                if pending is not None:
+                    self._collect_batch(collect, pending)
+                pending = nxt
+                if shutdown:
+                    if pending is not None:
+                        self._collect_batch(collect, pending)
+                    return
+        finally:
+            self._drain_on_exit()
+
+    def _drain_on_exit(self):
+        # whether via _SHUTDOWN or a worker crash, never leave a
+        # waiter blocked: mark closed and fail anything still queued.
+        # Under the lock, so no submit() can slip an item in between
+        # the closed-flag check and the drain.
+        with self._lock:
+            self._closed = True
+            while True:
+                try:
+                    leftover = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if leftover is _SHUTDOWN:
+                    continue
+                _, done, slot = leftover
+                slot["error"] = RuntimeError("batcher shut down")
+                done.set()
+
+    def _fail_items(self, items, e: BaseException):
+        """Surface a failure to every still-unserved waiter of a batch —
+        these items left the queue, so the shutdown drain can't rescue
+        them."""
+        err = e if isinstance(e, Exception) else RuntimeError(repr(e))
+        for _, done, slot in items:
+            if not done.is_set():
+                slot["error"] = err
+                done.set()
+        if not isinstance(e, Exception):
+            raise  # KeyboardInterrupt/SystemExit still terminate
+
+    def _submit_batch(self, submit, items):
+        """Pipeline front half: pad and dispatch to the device."""
+        images = [im for im, _, _ in items]
+        target = _pad_pow2(len(images), self.max_batch)
+        padded = images + [images[-1]] * (target - len(images))
+        return submit(padded)
+
+    def _collect_batch(self, collect, pending):
+        """Pipeline back half: fetch results and wake the waiters."""
+        items, handle = pending
+        try:
+            results = collect(handle)[: len(items)]
+            if len(results) < len(items):
+                raise RuntimeError(
+                    f"predict collect returned {len(results)} results "
+                    f"for {len(items)} images"
+                )
+            self.batches_run += 1
+            self.images_run += len(items)
+            now = time.monotonic()
+            for (_, done, slot), result in zip(items, results):
+                slot["result"] = result
+                self._latencies.append(now - slot["t0"])
+                done.set()
+        except BaseException as e:
+            self._fail_items(items, e)
 
     def _run(self, items):
         images = [im for im, _, _ in items]
@@ -208,21 +327,13 @@ class MicroBatcher:
                 self._latencies.append(now - slot["t0"])
                 done.set()
         except BaseException as e:
-            # surface the failure to every still-unserved waiter of THIS
-            # batch — these items left the queue, so the shutdown drain
-            # can't rescue them
-            err = e if isinstance(e, Exception) else RuntimeError(repr(e))
-            for _, done, slot in items:
-                if not done.is_set():
-                    slot["error"] = err
-                    done.set()
-            if not isinstance(e, Exception):
-                raise  # KeyboardInterrupt/SystemExit still terminate
+            self._fail_items(items, e)
 
 
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 max_batch: int = 8, window_ms: float = 5.0,
-                submit_timeout_s: Optional[float] = 30.0):
+                submit_timeout_s: Optional[float] = 30.0,
+                pipeline: bool = False):
     """(ThreadingHTTPServer, MicroBatcher) serving the predictor.
 
     Routes:
@@ -230,9 +341,22 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                       (reference schema) in original image coordinates
       GET  /healthz — liveness + batching counters + queue depth
     """
+    # `pipeline=True` + a predictor exposing the submit/collect split
+    # enables the depth-2 pipeline (host prep of batch N+1 overlaps
+    # device work of batch N). Opt-in: it wins when the host phase and
+    # the device phase genuinely overlap (+10% at fixed batch 32 even
+    # on this environment's serialized tunnel), but under saturation it
+    # splits the request pool across two in-flight batches, and where
+    # transfer dominates the cycle the resulting pad waste outweighs
+    # the overlap (measured 44.8 sync vs 39.7 pipelined at 64 clients
+    # here — see DESIGN.md "Serving throughput").
+    split = None
+    if pipeline and hasattr(predictor, "predict_batch_submit"):
+        split = (predictor.predict_batch_submit, predictor.predict_batch_collect)
     batcher = MicroBatcher(predictor.predict_batch, max_batch=max_batch,
                            window_ms=window_ms,
-                           submit_timeout_s=submit_timeout_s)
+                           submit_timeout_s=submit_timeout_s,
+                           predict_split=split)
     cfg = predictor.config
 
     # Request decode path: the native in-memory decoder (fused
@@ -352,10 +476,12 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
 def run_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                max_batch: int = 8, window_ms: float = 5.0,
                ready: Optional[threading.Event] = None,
-               submit_timeout_s: Optional[float] = 30.0):
+               submit_timeout_s: Optional[float] = 30.0,
+               pipeline: bool = False):
     """Serve until interrupted; `ready` is set once the socket listens."""
     server, batcher = make_server(predictor, host, port, max_batch, window_ms,
-                                  submit_timeout_s=submit_timeout_s)
+                                  submit_timeout_s=submit_timeout_s,
+                                  pipeline=pipeline)
     if ready is not None:
         ready.set()
     try:

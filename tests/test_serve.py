@@ -172,6 +172,144 @@ def test_microbatcher_close_fails_queued_items_when_worker_hung():
     t1.join(timeout=5)
 
 
+# -- depth-2 pipeline (submit/collect split) ----------------------------
+
+class FakeSplit:
+    """Records the interleaving of submits and collects."""
+
+    def __init__(self):
+        self.events = []
+        self.block_first_submit = threading.Event()
+        self.fail_collect_for = None  # handle id to fail
+
+    def submit(self, images):
+        handle = (len(self.events), [f"r{i}" for i in range(len(images))])
+        self.events.append(("submit", len(images)))
+        if len(self.events) == 1:
+            # hold the worker inside the first submit until the test has
+            # queued the second batch — makes the interleaving assertion
+            # deterministic
+            self.block_first_submit.wait(timeout=5)
+        return handle
+
+    def collect(self, handle):
+        hid, results = handle
+        self.events.append(("collect", hid))
+        if self.fail_collect_for == hid:
+            raise RuntimeError("device exploded")
+        return results
+
+
+def test_pipelined_submits_next_batch_before_collecting_previous():
+    fake = FakeSplit()
+    b = MicroBatcher(lambda images: None, max_batch=4, window_ms=1.0,
+                     predict_split=(fake.submit, fake.collect))
+    results = {}
+
+    def post(key):
+        results[key] = b.submit(f"img_{key}")
+
+    t1 = threading.Thread(target=post, args=(1,), daemon=True)
+    t1.start()
+    # wait until batch 1 is inside submit, then queue batch 2
+    while not fake.events:
+        time.sleep(0.005)
+    t2 = threading.Thread(target=post, args=(2,), daemon=True)
+    t2.start()
+    while b.queue_depth == 0:
+        time.sleep(0.005)
+    fake.block_first_submit.set()
+    t1.join(timeout=5)
+    t2.join(timeout=5)
+
+    kinds = [k for k, _ in fake.events]
+    # batch 2's device dispatch happened BEFORE batch 1's result fetch
+    assert kinds == ["submit", "submit", "collect", "collect"], fake.events
+    assert results[1] == "r0" and results[2] == "r0"
+    assert b.batches_run == 2 and b.images_run == 2
+    b.close()
+
+
+def test_pipelined_collect_error_fails_only_its_batch():
+    fake = FakeSplit()
+    fake.block_first_submit.set()  # don't hold anything
+    fake.fail_collect_for = 0  # first submit's handle id
+    b = MicroBatcher(lambda images: None, max_batch=4, window_ms=1.0,
+                     predict_split=(fake.submit, fake.collect))
+    with pytest.raises(RuntimeError, match="device exploded"):
+        b.submit("img_a")
+    # the batcher survives: the next request succeeds
+    assert b.submit("img_b") == "r0"
+    b.close()
+
+
+def test_pipelined_shutdown_collects_inflight_batch():
+    fake = FakeSplit()
+    b = MicroBatcher(lambda images: None, max_batch=4, window_ms=1.0,
+                     predict_split=(fake.submit, fake.collect))
+    out = {}
+
+    def post():
+        out["r"] = b.submit("img")
+
+    t = threading.Thread(target=post, daemon=True)
+    t.start()
+    while not fake.events:
+        time.sleep(0.005)
+    # batch is wedged inside submit; close() enqueues _SHUTDOWN
+    closer = threading.Thread(target=b.close, daemon=True)
+    closer.start()
+    time.sleep(0.05)
+    fake.block_first_submit.set()
+    t.join(timeout=5)
+    closer.join(timeout=5)
+    assert out["r"] == "r0"  # the in-flight batch was still served
+
+
+def test_make_server_pipeline_wiring():
+    """Default stays synchronous; pipeline=True wires the split only
+    when the predictor exposes it."""
+
+    class SplitPredictor:
+        class config:
+            width, height = 64, 64
+            labels = {"bean": 0}
+            parts = {"leaf": 0}
+            anchor_name = "stem"
+
+        transform = None
+
+        def predict_batch(self, images):
+            return [None] * len(images)
+
+        def predict_batch_submit(self, images):
+            return images
+
+        def predict_batch_collect(self, handle):
+            return [None] * len(handle)
+
+    server, batcher = make_server(SplitPredictor(), "127.0.0.1", 0)
+    assert batcher._split is None
+    batcher.close(); server.server_close()
+
+    server, batcher = make_server(SplitPredictor(), "127.0.0.1", 0,
+                                  pipeline=True)
+    assert batcher._split is not None
+    batcher.close(); server.server_close()
+
+    class PlainPredictor:
+        config = SplitPredictor.config
+        transform = None
+
+        def predict_batch(self, images):
+            return [None] * len(images)
+
+    server, batcher = make_server(PlainPredictor(), "127.0.0.1", 0,
+                                  pipeline=True)
+    assert batcher._split is None  # graceful sync fallback
+    batcher.close(); server.server_close()
+
+
 def test_predictor_variables_are_device_committed():
     """Weights must be jax.Arrays after init: numpy leaves re-upload on
     EVERY jit call (no host-argument caching), which measured ~1.4 s per
