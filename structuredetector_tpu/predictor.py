@@ -131,6 +131,18 @@ class Predictor:
         self.decoder = Decoder(config)
         self._forward = make_forward(self.model, from_uint8=device_normalize)
 
+    @property
+    def feed_uint8(self) -> bool:
+        """True when the network input signature is raw uint8 RGB
+        (normalization runs on-device inside the jitted forward)."""
+        return bool(self.transform.device_normalize)
+
+    @property
+    def feed_normalize(self) -> bool:
+        """True when the host must apply ImageNet normalization before
+        feeding (i.e. the graph does NOT own /255 + mean/std)."""
+        return not self.feed_uint8
+
     def predict_image(self, image: Union[Image.Image, str, Path]) -> ImageAnnotation:
         """One image -> annotation in original pixel coordinates."""
         return self.predict_batch([image])[0]
@@ -299,6 +311,18 @@ class ExportPredictor:
 
             self._host_normalize = Normalize()
 
+    @property
+    def feed_uint8(self) -> bool:
+        """True when the artifact's input signature is raw uint8 RGB."""
+        return self._uint8
+
+    @property
+    def feed_normalize(self) -> bool:
+        """True when the host must ImageNet-normalize the feed — i.e.
+        the artifact was exported without --norm/--uint8_input, so the
+        graph expects pre-normalized float32."""
+        return not self._uint8 and not self._normalized
+
     def _transform(self, image: Image.Image) -> np.ndarray:
         resized = image.resize(
             (self.config.width, self.config.height), Image.BILINEAR
@@ -316,28 +340,64 @@ class ExportPredictor:
     def predict_batch(
         self, images: Sequence[Union[Image.Image, str, Path]]
     ) -> List[ImageAnnotation]:
+        return self.predict_batch_collect(self.predict_batch_submit(images))
+
+    def predict_batch_submit(self, images: Sequence) -> Optional[tuple]:
+        """Device half (see `Predictor.predict_batch_submit`): dispatch
+        every static-batch chunk without fetching results."""
         from .ops.decode import split_head_output
 
         if not images:
-            return []
+            return None
         pils = []
         for im in images:
+            if isinstance(im, PreparedImage):
+                pils.append(im)
+                continue
             if not isinstance(im, Image.Image):
                 im = Image.open(im)
             if im.mode != "RGB":
                 im = im.convert("RGB")
             pils.append(im)
 
-        arrs = [self._transform(im) for im in pils]
+        cfg = self.config
+        arrs = [
+            im.array if isinstance(im, PreparedImage) else self._transform(im)
+            for im in pils
+        ]
         step = self.batch_size or len(arrs)
-        annotations: List[ImageAnnotation] = []
+        chunks = []
         for start in range(0, len(arrs), step):
             chunk = arrs[start : start + step]
             n = len(chunk)
             chunk = chunk + [chunk[-1]] * (step - n)  # pad static batches
             raw = self._call(jnp.asarray(np.stack(chunk)))
-            outputs = split_head_output(raw, self.config.n_labels, self.config.n_parts)
-            annotations.extend(self.decoder(outputs)[:n])
+            outputs = split_head_output(raw, cfg.n_labels, cfg.n_parts)
+            dec = self.decoder.decode_arrays(
+                outputs, cfg.conf_threshold, cfg.decoder_dist_thresh
+            )
+            chunks.append((dec, outputs["anchor_hm"].shape[1:3], n))
+        return chunks, pils
+
+    def predict_batch_collect(self, handle) -> List[ImageAnnotation]:
+        """Host half: fetch each chunk's decode arrays and assemble."""
+        import jax
+
+        if handle is None:
+            return []
+        chunks, pils = handle
+        annotations: List[ImageAnnotation] = []
+        for dec, out_hw, n in chunks:
+            anchors, parts, part_parent, part_valid = jax.device_get(
+                (dec["anchors"], dec["parts"], dec["part_parent"],
+                 dec["part_valid"])
+            )
+            annotations.extend(
+                self.decoder.materialize(
+                    anchors, parts, part_parent, part_valid, out_hw,
+                    self.config.conf_threshold,
+                )[:n]
+            )
 
         for ann, im in zip(annotations, pils):
             ann.resize((self.config.width, self.config.height), im.size)

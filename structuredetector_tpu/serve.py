@@ -330,6 +330,49 @@ class MicroBatcher:
             self._fail_items(items, e)
 
 
+def make_request_decoder(predictor, use_native: bool):
+    """Request bytes -> predictor feed, honoring the predictor's input
+    signature. Three cases (uniform across Predictor and ExportPredictor
+    via their `feed_uint8`/`feed_normalize` properties):
+
+    - `feed_uint8`: raw uint8 RGB — normalization runs inside the graph
+      (`Predictor(device_normalize=True)`, `export --uint8_input`);
+    - `feed_normalize`: host applies /255 + ImageNet mean/std in float32;
+    - neither (float artifact exported with `--norm`): the graph owns
+      /255 + mean/std, so the feed is raw [0, 255] float32. The native
+      float decode yields [0, 1], so decode uint8 and widen instead.
+
+    With `use_native`, decode+resize happens here in C++ (GIL released)
+    and a `PreparedImage` skips the predictor's per-image PIL transform;
+    otherwise returns a loaded PIL image (decoded NOW — a truncated
+    payload must 400 here, not explode inside a shared micro-batch and
+    500 innocent requests)."""
+    from .data import native as native_io
+    from .predictor import PreparedImage
+
+    cfg = predictor.config
+    feed_u8 = getattr(predictor, "feed_uint8", False)
+    feed_norm = getattr(predictor, "feed_normalize", not feed_u8)
+
+    def decode_request(data: bytes):
+        if use_native:
+            arr, size = native_io.decode_bytes(
+                data, cfg.width, cfg.height,
+                normalize=feed_norm,
+                dtype=np.float32 if feed_norm else np.uint8,
+            )
+            if not feed_u8 and not feed_norm:
+                arr = arr.astype(np.float32)
+            return PreparedImage(arr, size)
+        image = Image.open(io.BytesIO(data))
+        image.load()
+        if image.mode != "RGB":
+            image = image.convert("RGB")
+        return image
+
+    return decode_request
+
+
 def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
                 max_batch: int = 8, window_ms: float = 5.0,
                 submit_timeout_s: Optional[float] = 30.0,
@@ -367,26 +410,9 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
     # decode+resize as the serving bottleneck (8.6 img/s end-to-end vs
     # ~4000 img/s device capacity).
     from .data import native as native_io
-    from .predictor import PreparedImage
 
     use_native = native_io.available()
-    feed_u8 = getattr(predictor.transform, "device_normalize", False)
-
-    def decode_request(data: bytes):
-        if use_native:
-            arr, size = native_io.decode_bytes(
-                data, cfg.width, cfg.height,
-                normalize=not feed_u8,
-                dtype=np.uint8 if feed_u8 else np.float32,
-            )
-            return PreparedImage(arr, size)
-        image = Image.open(io.BytesIO(data))
-        image.load()  # force the decode NOW: Image.open is lazy, and a
-        # truncated payload must 400 here, not explode inside a shared
-        # micro-batch and 500 innocent requests
-        if image.mode != "RGB":
-            image = image.convert("RGB")
-        return image
+    decode_request = make_request_decoder(predictor, use_native=use_native)
 
     model_info = {
         "width": cfg.width, "height": cfg.height,

@@ -172,6 +172,51 @@ def test_export_predictor_matches_live_predictor(tmp_path):
             assert og.anchor.y == pytest.approx(ow.anchor.y, abs=1e-3)
 
 
+def test_export_predictor_feed_signature_and_prepared_image(tmp_path):
+    """Artifact variants expose the serve-layer feed signature, and a
+    `PreparedImage` (native decode fast path) reproduces the PIL path
+    bit-for-bit — including the --norm float case, where the feed must
+    be raw [0, 255] float32 because the graph owns /255 + mean/std."""
+    from PIL import Image
+
+    from structuredetector_tpu.predictor import ExportPredictor, PreparedImage
+
+    cfg = make_config()
+    cfg.anchor_name = "stem"
+    _, variables = init_model(cfg)
+
+    plain = export_model(cfg, variables, tmp_path / "plain.sdz", batch_size=2)
+    norm = export_model(cfg, variables, tmp_path / "norm.sdz", batch_size=2,
+                        fold_normalization=True)
+    u8 = export_model(cfg, variables, tmp_path / "u8.sdz", batch_size=2,
+                      fold_normalization=True, uint8_input=True)
+
+    rng = np.random.default_rng(7)
+    pil = Image.fromarray(rng.integers(0, 255, (40, 56, 3), np.uint8))
+
+    # (artifact, feed_uint8, feed_normalize)
+    for path, want_u8, want_norm in (
+        (plain, False, True), (norm, False, False), (u8, True, False),
+    ):
+        ep = ExportPredictor(path, max_objects=cfg.max_objects,
+                             max_parts=cfg.max_parts)
+        assert (ep.feed_uint8, ep.feed_normalize) == (want_u8, want_norm), path
+
+        arr = ep._transform(pil)  # the exact array the PIL path feeds
+        if want_u8:
+            assert arr.dtype == np.uint8
+        else:
+            assert arr.dtype == np.float32
+            # --norm artifacts eat raw [0,255]; plain ones normalized
+            assert (arr.max() > 2.0) == (not want_norm)
+
+        via_pil = ep.predict_batch([pil])
+        via_prepared = ep.predict_batch([PreparedImage(arr, pil.size)])
+        assert len(via_pil) == len(via_prepared) == 1
+        assert via_prepared[0].img_size == pil.size
+        assert via_prepared[0].json_repr() == via_pil[0].json_repr()
+
+
 def test_export_all_options_combined(tmp_path):
     """The full export option stack composes: int8 kernels + calibrated
     static activation scales + uint8 input signature + folded

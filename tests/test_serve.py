@@ -310,6 +310,71 @@ def test_make_server_pipeline_wiring():
     batcher.close(); server.server_close()
 
 
+def _jpeg_bytes(w=40, h=24, seed=0):
+    buf = io.BytesIO()
+    rng = np.random.default_rng(seed)
+    Image.fromarray(rng.integers(0, 255, (h, w, 3), np.uint8)).save(
+        buf, format="JPEG"
+    )
+    return buf.getvalue()
+
+
+def test_request_decoder_feed_signatures():
+    """The three request-feed cases (serve.make_request_decoder): raw
+    uint8, host-normalized float32, and raw [0,255] float32 for float
+    artifacts exported with --norm (whose graph owns /255 + mean/std —
+    feeding the native normalized or [0,1] decode there would
+    double-normalize)."""
+    from structuredetector_tpu.data import native as native_io
+    from structuredetector_tpu.predictor import PreparedImage
+    from structuredetector_tpu.serve import make_request_decoder
+
+    if not native_io.available():
+        pytest.skip("native IO library not built")
+
+    class Feed:
+        class config:
+            width, height = 32, 32
+
+        def __init__(self, u8, norm):
+            self.feed_uint8 = u8
+            self.feed_normalize = norm
+
+    data = _jpeg_bytes()
+
+    u8 = make_request_decoder(Feed(True, False), use_native=True)(data)
+    assert isinstance(u8, PreparedImage)
+    assert u8.array.dtype == np.uint8 and u8.array.shape == (32, 32, 3)
+    assert u8.size == (40, 24)  # original size for annotation rescale
+
+    norm = make_request_decoder(Feed(False, True), use_native=True)(data)
+    assert norm.array.dtype == np.float32
+    assert norm.array.min() < 0.0  # ImageNet-normalized, not raw/[0,1]
+
+    raw = make_request_decoder(Feed(False, False), use_native=True)(data)
+    assert raw.array.dtype == np.float32
+    np.testing.assert_array_equal(raw.array, u8.array.astype(np.float32))
+
+    # PIL fallback: a loaded RGB image, any truncation raising HERE
+    pil = make_request_decoder(Feed(True, False), use_native=False)(data)
+    assert isinstance(pil, Image.Image) and pil.mode == "RGB"
+    with pytest.raises(Exception):
+        make_request_decoder(Feed(True, False), use_native=False)(data[:20])
+
+
+def test_predictor_feed_signature_properties():
+    from structuredetector_tpu.config import Config
+    from structuredetector_tpu.predictor import Predictor
+
+    cfg = Config(width=32, height=32, max_objects=2, max_parts=4, fpn_depth=8,
+                 use_amp=False)
+    cfg.set_labels(["bean"], ["leaf"])
+    on_device = Predictor(cfg)
+    assert on_device.feed_uint8 and not on_device.feed_normalize
+    on_host = Predictor(cfg, device_normalize=False)
+    assert not on_host.feed_uint8 and on_host.feed_normalize
+
+
 def test_predictor_variables_are_device_committed():
     """Weights must be jax.Arrays after init: numpy leaves re-upload on
     EVERY jit call (no host-argument caching), which measured ~1.4 s per
