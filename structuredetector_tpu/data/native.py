@@ -104,6 +104,16 @@ def available() -> bool:
     return _load() is not None
 
 
+def supports_decode_bytes() -> bool:
+    """True when the built library has the v4 in-memory decode entry
+    points (`decode_bytes`). `available()` accepts v3 builds for the
+    file-based loaders — a server must check THIS before routing
+    requests through `decode_bytes`, or a stale build turns every
+    request into a 400."""
+    lib = _load()
+    return lib is not None and lib.sdnet_io_version() >= 4
+
+
 _MEAN = np.ascontiguousarray(IMAGENET_MEAN, np.float32)
 _STD = np.ascontiguousarray(IMAGENET_STD, np.float32)
 

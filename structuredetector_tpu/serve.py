@@ -172,21 +172,6 @@ class MicroBatcher:
             items.append(nxt)
         return items, False
 
-    def _drain_now(self, first) -> tuple:
-        """(items, saw_shutdown): take whatever is already queued, no
-        waiting — used while a pipelined batch is in flight (the device
-        time IS the batching window then)."""
-        items = [first]
-        while len(items) < self.max_batch:
-            try:
-                nxt = self._queue.get_nowait()
-            except queue.Empty:
-                break
-            if nxt is _SHUTDOWN:
-                return items, True
-            items.append(nxt)
-        return items, False
-
     def _loop(self):
         if self._split is not None:
             self._loop_pipelined()
@@ -411,7 +396,10 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
     # ~4000 img/s device capacity).
     from .data import native as native_io
 
-    use_native = native_io.available()
+    # v4+ required: a v3 library passes available() (file loaders work)
+    # but lacks the in-memory decode — routing requests through it would
+    # 400 every POST. Fall back to PIL instead.
+    use_native = native_io.supports_decode_bytes()
     decode_request = make_request_decoder(predictor, use_native=use_native)
 
     model_info = {

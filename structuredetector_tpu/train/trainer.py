@@ -571,6 +571,21 @@ class Trainer:
             )
         else:
             batches = device_prefetch(iterator)
+        # Blocking stats fetches serve two consumers: TB logging (lead)
+        # and the stall watchdog — whose beat must witness a COMPLETED
+        # device round-trip, or async dispatch keeps "progressing" for
+        # as long as the queue absorbs batches after a wedge. Cadence:
+        # every 10th step, not every step like the reference
+        # (trainer.py:126-129; a blocking fetch per step serializes the
+        # device pipeline — documented in README), PLUS a timeout_s/3
+        # time floor so slow steps (big batch/resolution, where 10 steps
+        # can outlast --stall_timeout_s) still beat well inside the
+        # timeout. No consumer (log off, watchdog off) -> no fetch.
+        import time as _time
+
+        wd = self._watchdog
+        beat_floor_s = wd.timeout_s / 3.0 if wd is not None else None
+        last_fetch_t = _time.monotonic()
         for i, batch in enumerate(batches):
             if profile_this and i == 5:
                 jax.profiler.start_trace(str(self.save_dir / "profile"))
@@ -588,19 +603,19 @@ class Trainer:
                 self._profiled = True
                 profile_this = False
 
-            # every 10th step, not every step like the reference
-            # (trainer.py:126-129): a blocking host fetch per step would
-            # serialize the device pipeline — documented in README.
-            if i % 10 == 0:
-                # Blocking fetch on EVERY process (not just the logging
-                # lead): the watchdog's beat must witness a completed
-                # device round-trip, or async dispatch keeps "progressing"
-                # for as long as the queue absorbs batches after a wedge.
+            overdue = (
+                beat_floor_s is not None
+                and _time.monotonic() - last_fetch_t > beat_floor_s
+            )
+            if (self.log or wd is not None) and (i % 10 == 0 or overdue):
+                # blocking fetch on EVERY process with a watchdog, not
+                # just the logging lead
                 host_stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+                last_fetch_t = _time.monotonic()
                 if self.log:
                     self.writer.scalars("Loss/Train", host_stats, self.global_step)
-                if self._watchdog is not None:
-                    self._watchdog.beat()
+                if wd is not None:
+                    wd.beat()
             self.global_step += cfg.batch_size
             if self._preempted:  # SIGTERM/SIGINT: stop at the batch boundary
                 break
@@ -661,8 +676,26 @@ class Trainer:
         summary = self.evaluator.scalar_summary()
 
         if self._first_val_losses is None:
-            self._first_val_losses = dict(loss_avg)
-        elif self.is_lead and not self._warned_embedding_plateau:
+            # The plateau baseline must survive --resume: re-baselining
+            # to the resumed run's first validation (already post-drop)
+            # would silence the warning in exactly the supervised
+            # kill-and-resume workflow it was built for. Lead persists
+            # it; every process restores it.
+            import json as _json
+
+            baseline_file = self.save_dir / "first_val_losses.json"
+            if baseline_file.exists():
+                try:
+                    self._first_val_losses = _json.loads(
+                        baseline_file.read_text())
+                except Exception:
+                    self._first_val_losses = dict(loss_avg)
+            else:
+                self._first_val_losses = dict(loss_avg)
+                if self.is_lead:
+                    baseline_file.write_text(
+                        _json.dumps(self._first_val_losses))
+        if self.is_lead and not self._warned_embedding_plateau:
             warning = embedding_plateau_warning(self._first_val_losses, loss_avg)
             if warning is not None:
                 print(warning)

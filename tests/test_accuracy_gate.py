@@ -95,7 +95,11 @@ def test_evaluate_cli_conf_sweep(gate_env, tmp_path, capsys):
 
 
 def test_accuracy_gate_driver(gate_env, tmp_path, monkeypatch):
-    """Full driver: 4 modes through the real CLIs, one table out."""
+    """Full driver: 4 modes through the real CLIs, one table out — and
+    the structural floors (round 4) MUST fail a random-weight
+    checkpoint: a structure detector's gate is self-deceiving if it
+    passes when no structure is detected. The JSON payload is written
+    before the non-zero exit so supervisors can read the verdict."""
     sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
     import accuracy_gate
 
@@ -103,16 +107,21 @@ def test_accuracy_gate_driver(gate_env, tmp_path, monkeypatch):
     out = tmp_path / "gate.json"
     monkeypatch.chdir(tmp_path)
 
-    accuracy_gate.main([
-        str(ckpt), "--valid_dir", str(root / "valid"),
-        "--train_dir", str(root / "train"),
-        "--labels", str(root / "labels.json"), "--anchor_name", "stem",
-        "-W", "32", "-H", "32", "--fpn_depth", "16",
-        "--max_objects", "4", "--max_parts", "8",
-        "--batch_size", "2", "--calibrate_images", "2",
-        "--out", str(out),
-    ])
+    with pytest.raises(SystemExit) as exc:
+        accuracy_gate.main([
+            str(ckpt), "--valid_dir", str(root / "valid"),
+            "--train_dir", str(root / "train"),
+            "--labels", str(root / "labels.json"), "--anchor_name", "stem",
+            "-W", "32", "-H", "32", "--fpn_depth", "16",
+            "--max_objects", "4", "--max_parts", "8",
+            "--batch_size", "2", "--calibrate_images", "2",
+            "--out", str(out),
+        ])
+    assert exc.value.code == 1
+
     payload = json.loads(out.read_text())
+    assert payload["gate"].startswith("FAIL")
+    assert "csi/f1_total" in payload["gate"]  # structural floor enforced
     assert set(payload["summaries"]) == {
         "checkpoint_bf16", "sdz_float", "int8_dynamic", "int8_static"}
     for s in payload["summaries"].values():

@@ -362,6 +362,42 @@ def test_request_decoder_feed_signatures():
         make_request_decoder(Feed(True, False), use_native=False)(data[:20])
 
 
+def test_serve_requires_v4_native_for_request_decode(monkeypatch):
+    """A v3 libsdnet_io.so passes available() (file loaders work) but
+    lacks decode_bytes — the server must fall back to PIL instead of
+    400-ing every request against the stale build."""
+    from structuredetector_tpu.data import native as native_io
+
+    class Stub:
+        class config:
+            width, height = 64, 64
+            labels = {"bean": 0}
+            parts = {"leaf": 0}
+            anchor_name = "stem"
+
+        transform = None
+
+        def predict_batch(self, images):
+            return [None] * len(images)
+
+    monkeypatch.setattr(native_io, "supports_decode_bytes", lambda: False)
+    monkeypatch.setattr(native_io, "available", lambda: True)
+    server, batcher = make_server(Stub(), "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=30
+        ) as r:
+            health = json.loads(r.read())
+        assert health["model"]["native_decode"] is False
+    finally:
+        server.shutdown()
+        batcher.close()
+        server.server_close()
+
+
 def test_predictor_feed_signature_properties():
     from structuredetector_tpu.config import Config
     from structuredetector_tpu.predictor import Predictor

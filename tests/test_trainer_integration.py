@@ -163,6 +163,38 @@ print("DONE", int(trainer.state.step), flush=True)
     assert int(m.group(1)) <= interrupted_step + 3
 
 
+def test_plateau_baseline_survives_resume(dataset_dirs, monkeypatch, tmp_path):
+    """The embedding-plateau warning baselines against the FIRST
+    validation of the run; under the supervised kill-and-resume
+    workflow a resumed trainer must restore that baseline from the run
+    dir, not re-baseline to its own (post-drop) first validation —
+    which would permanently silence the warning."""
+    import json as _json
+
+    from structuredetector_tpu.train import Trainer
+
+    monkeypatch.chdir(tmp_path)
+    cfg = make_config(dataset_dirs)
+    trainer = Trainer(cfg, log=False)
+    trainer.valid()
+    baseline_file = trainer.save_dir / "first_val_losses.json"
+    assert baseline_file.exists()
+    persisted = _json.loads(baseline_file.read_text())
+    assert persisted == trainer._first_val_losses
+    # first validation self-compares against its own baseline: no warn
+    assert not trainer._warned_embedding_plateau
+
+    cfg2 = make_config(dataset_dirs)
+    cfg2.resume_dir = trainer.save_dir
+    trainer2 = Trainer(cfg2, log=False)
+    # tamper the persisted baseline so restoration is distinguishable
+    # from re-baselining to trainer2's own first validation
+    tampered = dict(persisted, hm_loss=persisted.get("hm_loss", 1.0) * 7)
+    baseline_file.write_text(_json.dumps(tampered))
+    trainer2.valid()
+    assert trainer2._first_val_losses == tampered
+
+
 def test_batched_validation_matches_batch1(dataset_dirs, monkeypatch, tmp_path):
     """Trainer.valid at --eval_batch_size 2 must reproduce the batch-1
     detection metrics exactly (decode + matching are per-image); only

@@ -134,15 +134,17 @@ def grouping_rate(config, decoder, outputs, annotation):
     out_w = outputs["anchor_hm"].shape[2]
     sx, sy = config.width / out_w, config.height / out_h
 
-    gt_parts, gt_owner = [], []
+    gt_parts, gt_owner, gt_kind = [], [], []
     for obj in annotation.objects:
         for p in obj.parts:
             gt_parts.append((p.x, p.y))
             gt_owner.append((obj.x, obj.y))
+            gt_kind.append(config.parts.get(p.kind, -1))
     if not gt_parts:
         return 0, 0, 0
     gt_parts = np.array(gt_parts)
     gt_owner = np.array(gt_owner)
+    gt_kind = np.array(gt_kind)
     thresh = min(config.width, config.height) * config.dist_threshold
 
     total = correct = unassigned = 0
@@ -151,6 +153,9 @@ def grouping_rate(config, decoder, outputs, annotation):
             continue
         px, py = parts[0, i, 0] * sx, parts[0, i, 1] * sy
         d = np.hypot(gt_parts[:, 0] - px, gt_parts[:, 1] - py)
+        # match per kind, like Evaluator.eval_grouping: a decoded leaf
+        # must not claim a neighboring object's flower as its GT match
+        d = np.where(gt_kind == int(parts[0, i, 3]), d, np.inf)
         j = int(d.argmin())
         if d[j] >= thresh:
             continue

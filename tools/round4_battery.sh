@@ -51,8 +51,13 @@ bash tools/train_supervised.sh -n 5 -- \
 echo "[r4] arm B train exit=$? at $(date)"
 
 FIX_DIR="$(ls -d trainings/*/ 2>/dev/null | sort | tail -1)"
-if [ "$FIX_DIR" = "$CONTROL_DIR" ] || [ ! -f "$FIX_DIR/model_best_kp_reg.msgpack" ]; then
-  echo "[r4] FATAL: arm B produced no checkpoint"; exit 1
+# Check the checkpoint stages 2b/3/4 actually consume: model_best_csi
+# is only written once CSI exceeds 0.0, so an arm-B run whose grouping
+# never trains must FAIL here with a diagnosis, not crash downstream.
+if [ "$FIX_DIR" = "$CONTROL_DIR" ] || [ ! -f "$FIX_DIR/model_best_csi.msgpack" ]; then
+  echo "[r4] FATAL: arm B produced no model_best_csi checkpoint" \
+       "(CSI never rose above 0.0 — the grouping fix did not take," \
+       "or training died; see _runs/train_r4_embw1.log)"; exit 1
 fi
 echo "[r4] arm B dir: $FIX_DIR"
 
