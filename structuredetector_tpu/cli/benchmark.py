@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument("--width", "-W", type=int, default=512)
     p.add_argument("--height", "-H", type=int, default=512)
     p.add_argument("--batch_size", "-b", type=int, default=32)
+    p.add_argument("--fpn_depth", type=int, default=128,
+                   help="FPN width to benchmark (compare model sizes).")
+    p.add_argument("--backbone", type=str, default="resnet34",
+                   choices=("resnet18", "resnet34", "resnet50"))
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--fp32", action="store_true")
     p.add_argument("--int8", action="store_true",
@@ -78,7 +82,8 @@ def main(argv=None):
 
     args.int8 = args.int8 or args.int8_static
     cfg = Config(width=args.width, height=args.height, use_amp=not args.fp32,
-                 int8=args.int8)
+                 int8=args.int8, fpn_depth=args.fpn_depth,
+                 backbone=args.backbone)
     cfg.set_labels(["bean", "maize"], ["leaf"])
     cfg.validate()
     b = args.batch_size
