@@ -36,7 +36,7 @@ from structuredetector_tpu.models.quantize import (
     calibrate_activation_scales,
     prequantize_variables,
 )
-from structuredetector_tpu.ops.decode import decode_feature_maps
+from structuredetector_tpu.ops.decode import decode_feature_maps_cfirst
 
 BASELINE_FPS = 90.0  # reference README.md:114 (M1 Pro ANE, end-to-end)
 ITERS = 25
@@ -61,6 +61,14 @@ def main():
     cfg.validate()
 
     model, variables = init_model(cfg)
+    # Serving layout: channel-leading head + fused Pallas
+    # sigmoid/NMS/top-k decode (models.network._CFirstHead,
+    # ops.decode.decode_feature_maps_cfirst) — same detections as the
+    # NHWC path (pinned in tests/test_decode.py), measured faster on
+    # v5e (full-lane head writes + one-HBM-pass decode front).
+    from structuredetector_tpu.models.network import build_model
+
+    model_cf = build_model(cfg, head_layout="cfirst")
     # int8 + static scales measured fastest at batch 128 (DESIGN.md
     # serving section: 4,007-4,035 img/s across repeats on v5e).
     batch = args.batch or (128 if on_tpu else 2)
@@ -76,22 +84,14 @@ def main():
     variables = calibrate_activation_scales(model, variables, [images])
     variables = prequantize_variables(variables)
 
-    nms_fn = None
-    if on_tpu:
-        from structuredetector_tpu.ops.pallas import fused_sigmoid_nms
-
-        nms_fn = fused_sigmoid_nms
-
     def one_step(variables, images):
-        outputs = model.apply(variables, images, train=False)
-        return decode_feature_maps(
+        outputs = model_cf.apply(variables, images, train=False)
+        return decode_feature_maps_cfirst(
             outputs,
             max_objects=cfg.max_objects,
             max_parts=cfg.max_parts,
             conf_thresh=cfg.conf_threshold,
             dist_thresh=cfg.decoder_dist_thresh,
-            nms_fn=nms_fn,
-            with_metadata=False,
         )
 
     @jax.jit

@@ -68,6 +68,38 @@ class FpnBlock(nn.Module):
         return nn.relu(y.astype(self.dtype))
 
 
+class _CFirstHead(nn.Module):
+    """The 1x1 head evaluated channel-leading: out (F, B, H, W).
+
+    Parameter tree identical to the `nn.Conv` head (kernel (1,1,C,F),
+    bias (F,)), so checkpoints swap freely between layouts. Why: the
+    NHWC head writes an (B,H,W,7)-shaped map whose 7-channel minor dim
+    rides the 128-wide vector lanes at 7/128 utilization — measured
+    1.83 ms of a 31.6 ms batch-128 int8 serving step on v5e. Expressed
+    as dot_general(kernel (C,F), x (B,H,W,C)) the natural output order
+    is (F, B, H, W): H*W rides the lanes, the write runs at full rate,
+    and the channel-leading layout is exactly what the decode top-k
+    wants (it otherwise starts by transposing NHWC to (B,C,H*W))."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        w = kernel[0, 0].astype(self.dtype)  # (C, F)
+        y = jnp.einsum("cf,bhwc->fbhw", w, x.astype(self.dtype))
+        return y + bias.astype(self.dtype)[:, None, None, None]
+
+
 class SDNet(nn.Module):
     """Anchor+parts structure detection network, output stride 4."""
 
@@ -88,6 +120,12 @@ class SDNet(nn.Module):
     # (embeddings especially) local capacity the thin shared 1x1 lacks;
     # see DESIGN.md "Structural grouping".
     head_conv: int = 0
+    # "nhwc" (default, training + parity surface) or "cfirst": the
+    # serving layout where the head is a dot_general emitting
+    # (M+N+4, B, H, W) — full-lane writes of the thin-channel output
+    # and zero transposes into the decode top-k (see _CFirstHead).
+    # Inference-only; identical params either way.
+    head_layout: str = "nhwc"
 
     @property
     def out_channels(self) -> int:
@@ -121,6 +159,26 @@ class SDNet(nn.Module):
                 self.head_conv, (3, 3), padding=1, use_bias=True,
                 dtype=self.dtype, name="head_hidden",
             )(f1))
+        nb_hm = self.n_labels + self.n_parts
+        if self.head_layout == "cfirst":
+            if train:
+                raise ValueError("head_layout='cfirst' is inference-only; "
+                                 "train with the default NHWC head")
+            out = _CFirstHead(
+                self.out_channels, dtype=self.dtype, name="head"
+            )(f1)
+            out = out.astype(jnp.float32)
+            if raw_output:
+                return out  # (M+N+4, B, H/4, W/4)
+            return {
+                "anchor_hm": out[: self.n_labels],
+                "part_hm": out[self.n_labels : nb_hm],
+                "offsets": out[nb_hm : nb_hm + 2],
+                "embeddings": out[nb_hm + 2 : nb_hm + 4],
+            }
+        if self.head_layout != "nhwc":
+            raise ValueError(f"unknown head_layout {self.head_layout!r}")
+
         out = nn.Conv(
             self.out_channels, (1, 1), use_bias=True, dtype=self.dtype, name="head"
         )(f1)
@@ -129,7 +187,6 @@ class SDNet(nn.Module):
         if raw_output:
             return out  # (B, H/4, W/4, M+N+4)
 
-        nb_hm = self.n_labels + self.n_parts
         return {
             "anchor_hm": out[..., : self.n_labels],
             "part_hm": out[..., self.n_labels : nb_hm],
@@ -138,7 +195,8 @@ class SDNet(nn.Module):
         }
 
 
-def build_model(config, dtype: Optional[jnp.dtype] = None) -> SDNet:
+def build_model(config, dtype: Optional[jnp.dtype] = None,
+                head_layout: str = "nhwc") -> SDNet:
     return SDNet(
         n_labels=config.n_labels,
         n_parts=config.n_parts,
@@ -148,6 +206,7 @@ def build_model(config, dtype: Optional[jnp.dtype] = None) -> SDNet:
         backbone=getattr(config, "backbone", "resnet34"),
         int8=getattr(config, "int8", False),
         head_conv=getattr(config, "head_conv", 0),
+        head_layout=head_layout,
     )
 
 

@@ -218,3 +218,61 @@ def test_decode_thresholds_traced_no_recompile(tiny_config):
     assert len(results[0][0].objects) == 1
     n_parts = [r[0].objects[0].nb_parts for r in results]
     assert n_parts[0] == 1
+
+
+class TestCFirstFastPath:
+    """`decode_feature_maps_cfirst` + the `head_layout='cfirst'` model
+    must reproduce the NHWC decode path (serving fast path; see
+    models.network._CFirstHead and ops.decode.decode_feature_maps_cfirst)."""
+
+    def _nhwc_to_cfirst(self, outputs):
+        return {k: jnp.moveaxis(v, -1, 0) for k, v in outputs.items()}
+
+    def test_decode_matches_nhwc_exactly(self, tiny_config, rng):
+        from structuredetector_tpu.ops.decode import decode_feature_maps_cfirst
+
+        m, n = tiny_config.n_labels, tiny_config.n_parts
+        outputs = {
+            "anchor_hm": jnp.asarray(rng.normal(0, 3, (2, 16, 16, m)).astype(np.float32)),
+            "part_hm": jnp.asarray(rng.normal(0, 3, (2, 16, 16, n)).astype(np.float32)),
+            "offsets": jnp.asarray(rng.normal(0, 0.3, (2, 16, 16, 2)).astype(np.float32)),
+            "embeddings": jnp.asarray(rng.normal(0, 2, (2, 16, 16, 2)).astype(np.float32)),
+        }
+        kw = dict(
+            max_objects=tiny_config.max_objects, max_parts=tiny_config.max_parts,
+            conf_thresh=0.3, dist_thresh=0.2,
+        )
+        want = decode_feature_maps(outputs, with_metadata=False, **kw)
+        got = decode_feature_maps_cfirst(
+            self._nhwc_to_cfirst(outputs), interpret=True, **kw
+        )
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_array_equal(np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+
+    def test_model_head_layouts_agree(self, tiny_config, rng):
+        from structuredetector_tpu.models import init_model
+        from structuredetector_tpu.models.network import build_model
+
+        model, variables = init_model(tiny_config)
+        x = jnp.asarray(rng.normal(0, 1, (1, tiny_config.height, tiny_config.width, 3))
+                        .astype(np.float32))
+        out_nhwc = model.apply(variables, x, train=False)
+        # same variable tree loads into the cfirst-head model unchanged
+        out_cf = build_model(tiny_config, head_layout="cfirst").apply(
+            variables, x, train=False
+        )
+        for k in out_nhwc:
+            a = np.asarray(out_nhwc[k])
+            b = np.moveaxis(np.asarray(out_cf[k]), 0, -1)
+            np.testing.assert_allclose(a, b, atol=5e-5, err_msg=k)
+
+    def test_cfirst_head_is_inference_only(self, tiny_config, rng):
+        from structuredetector_tpu.models.network import build_model
+
+        import jax
+
+        model = build_model(tiny_config, head_layout="cfirst")
+        x = jnp.zeros((1, tiny_config.height, tiny_config.width, 3), jnp.float32)
+        with pytest.raises(ValueError, match="inference-only"):
+            model.init(jax.random.PRNGKey(0), x, train=True)

@@ -1,8 +1,11 @@
 """Trace the int8-static inference path (forward + decode) on TPU and
-print a per-HLO device-time breakdown (framework_op / hlo_op stats via
-the tensorboard profile plugin's raw_to_tool_data converters).
+print a per-HLO device-time breakdown (parsed straight from the
+xplane protobuf; run with PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python).
 
-Usage: python tools/trace_int8.py [batch] [bf16]
+Usage: python tools/trace_int8.py [batch] [bf16] [nhwc]
+  bf16: disable int8 (bf16 convs)
+  nhwc: trace the legacy NHWC-head + XLA-top-k decode instead of the
+        shipping cfirst + fused-Pallas-top-k serving path
 """
 
 import sys as _sys
@@ -26,11 +29,16 @@ from structuredetector_tpu.models.quantize import (
     calibrate_activation_scales,
     prequantize_variables,
 )
-from structuredetector_tpu.ops.decode import decode_feature_maps
+from structuredetector_tpu.models.network import build_model
+from structuredetector_tpu.ops.decode import (
+    decode_feature_maps,
+    decode_feature_maps_cfirst,
+)
 from structuredetector_tpu.ops.pallas import fused_sigmoid_nms
 
 batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 use_int8 = "bf16" not in sys.argv[2:]
+use_cfirst = "nhwc" not in sys.argv[2:]
 cfg = Config(width=512, height=512, use_amp=True, int8=use_int8)
 cfg.set_labels(["bean", "maize"], ["leaf"])
 cfg.validate()
@@ -44,15 +52,25 @@ if use_int8:
     variables = prequantize_variables(variables)
 
 
+model_cf = build_model(cfg, head_layout="cfirst")
+
+
 @jax.jit
 def step(variables, images):
     def body(carry, _):
-        out = model.apply(variables, images + carry * 1e-12, train=False)
-        dec = decode_feature_maps(
-            out, max_objects=cfg.max_objects, max_parts=cfg.max_parts,
-            conf_thresh=cfg.conf_threshold,
-            dist_thresh=cfg.decoder_dist_thresh,
-            nms_fn=fused_sigmoid_nms, with_metadata=False)
+        if use_cfirst:
+            out = model_cf.apply(variables, images + carry * 1e-12, train=False)
+            dec = decode_feature_maps_cfirst(
+                out, max_objects=cfg.max_objects, max_parts=cfg.max_parts,
+                conf_thresh=cfg.conf_threshold,
+                dist_thresh=cfg.decoder_dist_thresh)
+        else:
+            out = model.apply(variables, images + carry * 1e-12, train=False)
+            dec = decode_feature_maps(
+                out, max_objects=cfg.max_objects, max_parts=cfg.max_parts,
+                conf_thresh=cfg.conf_threshold,
+                dist_thresh=cfg.decoder_dist_thresh,
+                nms_fn=fused_sigmoid_nms, with_metadata=False)
         return dec["anchors"][0, 0, 2], None
 
     carry, _ = lax.scan(body, jnp.float32(0.0), None, length=10)
@@ -66,17 +84,44 @@ with jax.profiler.trace(trace_dir):
     _ = float(step(variables, images))
 print("traced to", trace_dir)
 
-# ---- parse: per-HLO device time ----
-from tensorboard_plugin_profile.convert import raw_to_tool_data
+# ---- parse: per-HLO device time, straight from the xplane protobuf
+# (the tensorboard_plugin_profile converters no longer import against
+# the installed protobuf/tensorflow pair; the raw XSpace always parses.
+# Requires PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python in the env.)
+import collections
+import re
+
+from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
 xs = sorted(glob.glob(trace_dir + "/plugins/profile/*/*.xplane.pb"))
 print("xplane files:", xs)
 if xs:
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xs, "hlo_stats", {})
-    if isinstance(data, bytes):
-        data = data.decode()
-    out = _Path("/tmp/hlo_stats.json")
-    out.write_text(data)
-    d = json.loads(data)
-    rows = d.get("data", d) if isinstance(d, dict) else d
-    print("wrote /tmp/hlo_stats.json; top-level type:", type(d).__name__)
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(open(xs[0], "rb").read())
+    for plane in space.planes:
+        if plane.name != "/device:TPU:0":
+            continue
+        md = {k: v.name for k, v in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            agg = collections.Counter()
+            cnt = collections.Counter()
+            full = {}
+            for ev in line.events:
+                name = md.get(ev.metadata_id, "?")
+                m = re.match(r"%([a-zA-Z0-9_.\-]+)", name)
+                key = m.group(1) if m else name[:40]
+                agg[key] += ev.duration_ps
+                cnt[key] += 1
+                full[key] = name
+            # duration_ps / 1e9 = ms; the traced step scans ITERS=10
+            # model applications, so /10 gives ms per inference iter.
+            print("=== per-op ms/iter (>= 0.05), outer while excluded ===")
+            for key, ps in agg.most_common(60):
+                ms = ps / 1e9 / 10
+                # the outer scan-over-iters while appears once and
+                # contains everything — skip the inclusive wrapper
+                if ms < 0.05 or (key.startswith("while.") and cnt[key] == 1):
+                    continue
+                print(f"  {ms:7.3f} ms x{cnt[key]:4d}  {full[key][:120]}")
