@@ -102,18 +102,58 @@ def _shift_object(obj: Object, dx: float, dy: float) -> Object:
     return obj
 
 
+def _make_fused_step(config, from_uint8: bool):
+    """One jitted program for the whole serving device phase:
+    (optional /255 + ImageNet normalize) -> channel-leading forward
+    (`head_layout='cfirst'`: full-lane head writes, zero transposes
+    into decode) -> fused Pallas sigmoid/NMS/top-k decode. conf/dist
+    thresholds are traced scalars (threshold changes reuse the program)."""
+    from .models.network import build_model
+    from .ops.decode import decode_feature_maps_cfirst
+
+    model_cf = build_model(config, head_layout="cfirst")
+    max_objects, max_parts = config.max_objects, config.max_parts
+
+    @jax.jit
+    def fused_step(variables, images, conf_thresh, dist_thresh):
+        if from_uint8:
+            from .ops.device_augment import normalize_images
+
+            images = normalize_images(images.astype(jnp.float32) / 255.0)
+        outputs = model_cf.apply(variables, images, train=False)
+        return decode_feature_maps_cfirst(
+            outputs,
+            max_objects=max_objects,
+            max_parts=max_parts,
+            conf_thresh=conf_thresh,
+            dist_thresh=dist_thresh,
+        )
+
+    return fused_step
+
+
 class Predictor:
     def __init__(
         self,
         config,
         model_path: Optional[Path] = None,
         device_normalize: bool = True,
+        fast_path: Optional[bool] = None,
     ):
         """`device_normalize` (default): the host only resizes; uint8
         pixels ship to the device and the /255 + ImageNet normalization
         runs inside the jitted forward — 4x less host->device traffic.
         Set False to normalize on the host in float32 (byte-identical
-        feed to the `evaluate` CLI path)."""
+        feed to the `evaluate` CLI path).
+
+        `fast_path` (default: auto, on iff the backend is a TPU): run
+        the channel-leading serving graph — `head_layout='cfirst'` head
+        + `decode_feature_maps_cfirst` fused Pallas sigmoid/NMS/top-k —
+        instead of the NHWC forward + `Decoder` device phase. Same
+        weights, same detections (pinned in tests/test_decode.py and
+        tests/test_predictor_fast.py); measured faster on v5e. Off-TPU
+        the Pallas kernel falls back to interpreter mode, which is
+        correct but slow — hence the auto default."""
         self.config = config
         self.model, variables = init_model(config)
         path = model_path or config.pretrained_model
@@ -130,6 +170,33 @@ class Predictor:
         )
         self.decoder = Decoder(config)
         self._forward = make_forward(self.model, from_uint8=device_normalize)
+        if fast_path is None:
+            fast_path = jax.default_backend() == "tpu"
+        self.fast_path = bool(fast_path)
+        self._fused_step = (
+            _make_fused_step(config, from_uint8=device_normalize)
+            if self.fast_path else None
+        )
+
+    def _device_decode(self, batch: jax.Array):
+        """Forward + fixed-shape device decode -> (decode dict, out_hw).
+        One compiled program on the fast path; forward + jitted decode
+        otherwise. Thresholds are traced scalars either way (no
+        recompile per threshold)."""
+        cfg = self.config
+        if self._fused_step is not None:
+            dec = self._fused_step(
+                self.variables, batch,
+                jnp.float32(cfg.conf_threshold),
+                jnp.float32(cfg.decoder_dist_thresh),
+            )
+            r = int(cfg.down_ratio)
+            return dec, (batch.shape[1] // r, batch.shape[2] // r)
+        outputs = self._forward(self.variables, batch)
+        dec = self.decoder.decode_arrays(
+            outputs, cfg.conf_threshold, cfg.decoder_dist_thresh
+        )
+        return dec, outputs["anchor_hm"].shape[1:3]
 
     @property
     def feed_uint8(self) -> bool:
@@ -178,12 +245,7 @@ class Predictor:
             im.array if isinstance(im, PreparedImage) else self.transform(im)
             for im in pils
         ]))
-        outputs = self._forward(self.variables, batch)
-        cfg = self.config
-        dec = self.decoder.decode_arrays(
-            outputs, cfg.conf_threshold, cfg.decoder_dist_thresh
-        )
-        out_hw = outputs["anchor_hm"].shape[1:3]
+        dec, out_hw = self._device_decode(batch)
         return dec, out_hw, pils
 
     def predict_batch_collect(self, handle) -> List[ImageAnnotation]:
@@ -246,10 +308,16 @@ class Predictor:
             # pad to the static batch shape (one compiled graph)
             chunk = chunk + [chunk[-1]] * (batch_size - n)
             batch = jnp.asarray(np.stack([self.transform(t) for t in chunk]))
-            outputs = self._forward(self.variables, batch)
-            for ann, (x, y) in zip(
-                self.decoder(outputs)[:n], corners[start : start + n]
-            ):
+            dec, out_hw = self._device_decode(batch)
+            anchors, parts, part_parent, part_valid = jax.device_get(
+                (dec["anchors"], dec["parts"], dec["part_parent"],
+                 dec["part_valid"])
+            )
+            anns = self.decoder.materialize(
+                anchors, parts, part_parent, part_valid, out_hw,
+                self.config.conf_threshold,
+            )
+            for ann, (x, y) in zip(anns[:n], corners[start : start + n]):
                 objects.extend(_shift_object(o, x, y) for o in ann.objects)
 
         # an image smaller than the tile on an axis gets black crop
