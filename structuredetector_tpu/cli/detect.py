@@ -9,16 +9,10 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-from PIL import Image
 from tqdm import tqdm
 
 from ..config import config_from_args
-from ..data import Decoder, PredictionDataset, PredictionTransformation
-from ..models.network import init_model, resolve_variables
-from ..train.steps import make_forward
+from ..data import PredictionDataset
 from ..visualization import draw
 
 
@@ -32,38 +26,33 @@ def main(argv=None):
     if config.tiled:
         return _main_tiled(config)
 
-    # uint8 feed + on-device normalization: 4x less host->device traffic
-    dataset = PredictionDataset(
-        config.valid_dir, PredictionTransformation(config, device_normalize=True)
-    )
-    model, init_vars = init_model(config)
-    # device-resident weights: numpy args re-upload per jit call (DESIGN.md)
-    variables = jax.device_put(resolve_variables(config.pretrained_model, init_vars))
-    decoder = Decoder(config)
-    forward = make_forward(model, from_uint8=True)
+    from ..predictor import Predictor
+
+    # Predictor owns the whole device path: uint8 feed + on-device
+    # normalization, device-resident weights, and the cfirst fused
+    # decode fast path on TPU. --eval_batch_size images go through one
+    # compiled graph per batch (the tail pads by repetition, so exactly
+    # one shape compiles).
+    predictor = Predictor(config)
+    dataset = PredictionDataset(config.valid_dir)
 
     out_dir = Path("predictions")
     out_dir.mkdir(exist_ok=True)
 
-    for i in tqdm(range(len(dataset)), desc="Prediction", unit="image"):
-        sample = dataset[i]
-        image_path = sample["path"]
-        img_size = sample["img_size"]
-        batch = jnp.asarray(np.asarray(sample["img"])[None])
+    bs = max(1, int(config.eval_batch_size or 1))
+    for start in tqdm(range(0, len(dataset), bs), desc="Prediction",
+                      unit="batch"):
+        samples = [dataset[i] for i in range(start, min(start + bs, len(dataset)))]
+        images = [s["img"] for s in samples]
+        n = len(images)
+        annotations = predictor.predict_batch(images + [images[-1]] * (bs - n))
 
-        outputs = forward(variables, batch)
-        annotation = decoder(outputs)[0]
-        annotation.resize((config.width, config.height), img_size)
-        annotation.img_size = img_size
-        annotation.image_path = Path(image_path)
-
-        image = Image.open(image_path)
-        if image.mode != "RGB":
-            image = image.convert("RGB")
-        overlay = draw(image, annotation, config)
-
-        annotation.save_json(out_dir)
-        overlay.save(out_dir / Path(image_path).name)
+        for sample, annotation in zip(samples, annotations[:n]):
+            image_path = sample["path"]
+            annotation.image_path = Path(image_path)
+            overlay = draw(sample["img"], annotation, config)
+            annotation.save_json(out_dir)
+            overlay.save(out_dir / Path(image_path).name)
 
 
 def _main_tiled(config):
