@@ -125,3 +125,51 @@ if xs:
                 if ms < 0.05 or (key.startswith("while.") and cnt[key] == 1):
                     continue
                 print(f"  {ms:7.3f} ms x{cnt[key]:4d}  {full[key][:120]}")
+
+            # ---- category rollup: attribute each fusion's device time
+            # to MXU (contains a convolution/dot) vs pure elementwise /
+            # data movement, by cross-referencing the compiled HLO.
+            hlo = step.lower(variables, images).compile().as_text()
+            calls = dict(re.findall(
+                r"%?([\w.\-]+) = [^\n]*? fusion\([^\n]*?calls=%?([\w.\-]+)", hlo))
+            bodies = {}
+            for m in re.finditer(
+                r"^\s*%?([\w.\-]+) \([^)]*\) -> [^{]+\{(.*?)^\s*\}",
+                hlo, re.S | re.M,
+            ):
+                bodies[m.group(1)] = m.group(2)
+
+            def category(key, name):
+                if "custom-call" in name:
+                    return "pallas custom-call"
+                if key.startswith("while.") or "fusion" not in name:
+                    base = name.split("=", 1)[1].strip() if "=" in name else name
+                    op = base.split("(")[0].strip().split()[-1]
+                    return {"copy": "data movement",
+                            "broadcast": "data movement",
+                            # inner while durations are inclusive of
+                            # their body fusions (counted separately);
+                            # report only the loop overhead would need
+                            # subtraction — skip to avoid double count
+                            "while": None,
+                            }.get(op, f"other:{op}")
+                body = bodies.get(calls.get(key, ""), "")
+                if "convolution(" in body or " dot(" in body:
+                    return "MXU fusion (conv/dot + fused elementwise)"
+                return "elementwise/requant fusion"
+
+            roll = collections.Counter()
+            for key, ps in agg.items():
+                name = full[key]
+                if key.startswith("while."):
+                    continue  # inclusive wrappers (outer scan / top-k loop)
+                cat = category(key, name)
+                if cat is not None:
+                    roll[cat] += ps
+            print("=== category rollup, ms/iter ===")
+            total = 0.0
+            for cat, ps in roll.most_common():
+                ms = ps / 1e9 / 10
+                total += ms
+                print(f"  {ms:7.3f} ms  {cat}")
+            print(f"  {total:7.3f} ms  TOTAL (sum of op self-times)")
