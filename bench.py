@@ -100,7 +100,17 @@ def main():
             # Tiny (but non-zero: XLA folds x*0) perturbation forces a
             # real loop-carried dependence so the body can't be hoisted.
             dec = one_step(variables, images + carry * 1e-12)
-            return dec["anchors"][0, 0, 2], None
+            # The probe must consume EVERY decode output: a carry that
+            # read only `anchors` let XLA dead-code-eliminate the whole
+            # parts top-k + association (found in the round-4 per-HLO
+            # trace — the bench was silently skipping ~1 ms of the path).
+            probe = (
+                dec["anchors"][0, 0, 2]
+                + dec["parts"][0, 0, 2]
+                + dec["part_parent"][0, 0].astype(jnp.float32) * 1e-9
+                + dec["part_valid"][0, 0].astype(jnp.float32) * 1e-9
+            )
+            return probe, None
 
         carry, _ = lax.scan(body, jnp.float32(0.0), None, length=ITERS)
         return carry

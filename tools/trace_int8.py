@@ -71,7 +71,15 @@ def step(variables, images):
                 conf_thresh=cfg.conf_threshold,
                 dist_thresh=cfg.decoder_dist_thresh,
                 nms_fn=fused_sigmoid_nms, with_metadata=False)
-        return dec["anchors"][0, 0, 2], None
+        # consume every decode output or XLA DCEs the parts decode +
+        # association out of the traced program (see bench.py)
+        probe = (
+            dec["anchors"][0, 0, 2]
+            + dec["parts"][0, 0, 2]
+            + dec["part_parent"][0, 0].astype(jnp.float32) * 1e-9
+            + dec["part_valid"][0, 0].astype(jnp.float32) * 1e-9
+        )
+        return probe, None
 
     carry, _ = lax.scan(body, jnp.float32(0.0), None, length=10)
     return carry
@@ -79,7 +87,11 @@ def step(variables, images):
 
 _ = float(step(variables, images))
 
-trace_dir = "/tmp/jaxtrace_int8"
+# fresh dir per run: /tmp/jaxtrace_int8 accumulates runs and the glob
+# below would otherwise parse the OLDEST xplane (a stale ledger)
+import tempfile
+
+trace_dir = tempfile.mkdtemp(prefix="jaxtrace_int8_")
 with jax.profiler.trace(trace_dir):
     _ = float(step(variables, images))
 print("traced to", trace_dir)
@@ -140,11 +152,15 @@ if xs:
                 bodies[m.group(1)] = m.group(2)
 
             def category(key, name):
-                if "custom-call" in name:
+                # opcode = the token right before the first "(", taken
+                # from the op's OWN definition (not operand text — input
+                # names can contain "custom-call"/"fusion" too)
+                mm = re.match(r"%[\w.\-]+ = \S+(?: \S+)*? ([\w\-]+)\(", name)
+                opcode = mm.group(1) if mm else "?"
+                if opcode == "custom-call":
                     return "pallas custom-call"
-                if key.startswith("while.") or "fusion" not in name:
-                    base = name.split("=", 1)[1].strip() if "=" in name else name
-                    op = base.split("(")[0].strip().split()[-1]
+                if key.startswith("while.") or opcode != "fusion":
+                    op = opcode
                     return {"copy": "data movement",
                             "broadcast": "data movement",
                             # inner while durations are inclusive of
