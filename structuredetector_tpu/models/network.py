@@ -40,13 +40,23 @@ def upsample2x_nearest(x: jax.Array) -> jax.Array:
     return x.reshape(b, h * 2, w * 2, c)
 
 
-# Measured and rejected (round 4): rewriting `upsample2x_nearest(x) +
-# lateral` so the dim-split reshape rides on `lateral` (keeping the ×2
-# broadcast an unmaterialized add operand) — the broadcast_in_dim
-# materialization this targets costs 1.07 ms at the batch-128 f1 level,
-# but the rewrite benched 3 943 vs 3 950 img/s: XLA just moves the
-# copy onto the reshaped lateral instead. Eliminating the pass needs a
-# Pallas upsample+add(+quantize) kernel, not an expression shuffle.
+# Measured and rejected, twice (round 4), targeting the 2.4 ms the
+# int8 serving step spends materializing this broadcast and then
+# re-reading it to quantize the FPN conv input (batch-128 f1 level):
+# (a) an expression shuffle (dim-split reshape on `lateral` so the ×2
+#     broadcast stays an unmaterialized add operand): 3 943 vs
+#     3 950 img/s — XLA just moves the copy onto the reshaped lateral;
+# (b) a Pallas fused upsample+add+quantize kernel handed to Int8Conv
+#     (MXU one-hot dot for the sublane interleave, bit-exact f32-sum
+#     semantics): the kernel itself beat the XLA pair (1.60 vs
+#     2.44 ms), but a Pallas custom call pins default {3,2,1,0}
+#     layouts, and XLA's layout assignment re-laid-out the surrounding
+#     conv region around it — the f1 conv split into an s32-
+#     materializing pass + two relayout fusions (4.1 -> 9.5 ms) and
+#     the 64x64 conv fusions broke the same way. Net: 3 950 ->
+#     2 791 img/s. See DESIGN.md "The fused decode front" for why the
+#     decode kernels DON'T pay this: they sit at a natural layout
+#     boundary (post-head, already row-major planes).
 
 
 class FpnBlock(nn.Module):
