@@ -90,9 +90,14 @@ bool decode_jpeg(const char* path, int target_w, int target_h, Image* out) {
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // libjpeg treats premature EOF (truncated file) as a *warning* and
+  // fakes an EOI marker, so error_exit never fires and the decode
+  // "succeeds" with a half-gray image. PIL raises on the same input;
+  // match it by failing on any corrupt-data warning.
+  const long warnings = cinfo.err->num_warnings;
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
-  return out->c == 3;
+  return out->c == 3 && warnings == 0;
 }
 
 // In-memory JPEG decode (the serving request path: the payload is
@@ -137,8 +142,13 @@ bool decode_jpeg_mem(const uint8_t* buf, size_t len, int target_w,
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  // Truncated payloads reach here "successfully": libjpeg raises only
+  // a warning (JWRN_JPEG_EOF) and pads with fake EOI. The serving path
+  // guarantees 400 on truncation (serve.make_request_decoder), so a
+  // corrupt-data warning must fail the decode like PIL's load() does.
+  const long warnings = cinfo.err->num_warnings;
   jpeg_destroy_decompress(&cinfo);
-  return out->c == 3;
+  return out->c == 3 && warnings == 0;
 }
 
 struct PngMemCursor {

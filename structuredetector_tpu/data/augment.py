@@ -77,6 +77,17 @@ class RandomHorizontalFlip:
 
     def _trigger(self) -> bool:
         if self.legacy_flip:  # reference transforms.py:14
+            # The reference compares a *normal* draw against prob, so
+            # the effective flip rate is Phi(prob) (~69% at the default
+            # 0.5) — that quirk is what legacy mode reproduces. But
+            # prob is still a user-facing probability at the edges:
+            # --flip_prob 0 must never flip (randn() < 0 would flip
+            # half the time) and 1 must always flip (randn() < 1 is
+            # only ~84%).
+            if self.prob <= 0.0:
+                return False
+            if self.prob >= 1.0:
+                return True
             return self.rng.standard_normal() < self.prob
         return self.rng.random() < self.prob
 

@@ -95,12 +95,8 @@ class Decoder:
         in_h, in_w = int(self.down_ratio * out_h), int(self.down_ratio * out_w)
 
         dec = self.decode_arrays(outputs, conf_thresh, dist_thresh)
-        # One host transfer for everything the Python phase needs.
-        anchors, parts, part_parent, part_valid = jax.device_get(
-            (dec["anchors"], dec["parts"], dec["part_parent"], dec["part_valid"])
-        )
-        annotations = self.materialize(
-            anchors, parts, part_parent, part_valid, (out_h, out_w), conf_thresh
+        annotations, anchors, parts = self.fetch_and_materialize(
+            dec, (out_h, out_w), conf_thresh
         )
 
         if not return_metadata:
@@ -132,6 +128,23 @@ class Decoder:
             "raw_embeddings": outputs["embeddings"],
             "raw_offsets": outputs["offsets"],
         }
+
+    def fetch_and_materialize(self, dec, out_hw, conf_thresh):
+        """One host transfer of the four decode arrays + `materialize`.
+
+        Returns (annotations, anchors, parts); the numpy arrays come
+        along because the metadata path (`__call__`) reuses them for
+        raw_parts. The single shared site for the fetch keeps the key
+        set and threshold handling in one place across Predictor,
+        ExportPredictor, and Decoder itself."""
+        anchors, parts, part_parent, part_valid = jax.device_get(
+            (dec["anchors"], dec["parts"], dec["part_parent"],
+             dec["part_valid"])
+        )
+        annotations = self.materialize(
+            anchors, parts, part_parent, part_valid, out_hw, conf_thresh
+        )
+        return annotations, anchors, parts
 
     def materialize(self, anchors, parts, part_parent, part_valid,
                     out_hw, conf_thresh):

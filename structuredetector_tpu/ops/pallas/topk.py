@@ -117,11 +117,16 @@ def _planes_per_step(n: int) -> int:
     # 16 planes amortize the serial per-round reduction chain (measured
     # optimum; 32 overflows the 16 MB scoped-VMEM stack). The output
     # block's second-to-last dim must be divisible by 8 or equal the
-    # plane count, so small inputs fall through to one full-array step.
+    # plane count; callers pad n to a multiple of 8, so only tiny
+    # inputs (n < 8, a single sub-8 block) take the p == n branch.
     for c in (16, 8):
         if n % c == 0:
             return c
-    return n
+    if n < 8:
+        return n
+    # Unreachable after padding; guard against a caller bypassing it —
+    # p == n at large n overflows scoped VMEM (32 planes already do).
+    raise ValueError(f"plane count {n} not a multiple of 8; pad first")
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
@@ -142,15 +147,26 @@ def fused_sigmoid_nms_topk(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    p = _planes_per_step(n)
+    # Pad the plane axis to a multiple of 8 so the grid always uses
+    # small (8/16-plane) VMEM blocks: a p == n fallback at e.g. n = 100
+    # (batch 50 x 2 labels) would put the whole array in one block and
+    # blow the scoped-VMEM budget. Padded planes cost <7 planes of VPU
+    # work and are sliced off the outputs.
+    n_pad = (-n) % 8 if n > 8 else 0
+    if n_pad:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((n_pad, h, w), planes.dtype)], axis=0
+        )
+    n_total = n + n_pad
+    p = _planes_per_step(n_total)
     planes = planes.astype(jnp.float32)
     vals, inds = pl.pallas_call(
         functools.partial(_sigmoid_nms_topk_kernel, k),
         out_shape=(
-            jax.ShapeDtypeStruct((n, k), jnp.float32),
-            jax.ShapeDtypeStruct((n, k), jnp.int32),
+            jax.ShapeDtypeStruct((n_total, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_total, k), jnp.int32),
         ),
-        grid=(n // p,),
+        grid=(n_total // p,),
         in_specs=[
             pl.BlockSpec((p, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
         ],
@@ -163,4 +179,6 @@ def fused_sigmoid_nms_topk(
         ],
         interpret=interpret,
     )(planes)
+    if n_pad:
+        vals, inds = vals[:n], inds[:n]
     return vals, inds

@@ -254,12 +254,8 @@ class Predictor:
         if handle is None:
             return []
         dec, out_hw, pils = handle
-        anchors, parts, part_parent, part_valid = jax.device_get(
-            (dec["anchors"], dec["parts"], dec["part_parent"], dec["part_valid"])
-        )
-        annotations = self.decoder.materialize(
-            anchors, parts, part_parent, part_valid, out_hw,
-            self.config.conf_threshold,
+        annotations, _, _ = self.decoder.fetch_and_materialize(
+            dec, out_hw, self.config.conf_threshold
         )
 
         for ann, im in zip(annotations, pils):
@@ -309,13 +305,8 @@ class Predictor:
             chunk = chunk + [chunk[-1]] * (batch_size - n)
             batch = jnp.asarray(np.stack([self.transform(t) for t in chunk]))
             dec, out_hw = self._device_decode(batch)
-            anchors, parts, part_parent, part_valid = jax.device_get(
-                (dec["anchors"], dec["parts"], dec["part_parent"],
-                 dec["part_valid"])
-            )
-            anns = self.decoder.materialize(
-                anchors, parts, part_parent, part_valid, out_hw,
-                self.config.conf_threshold,
+            anns, _, _ = self.decoder.fetch_and_materialize(
+                dec, out_hw, self.config.conf_threshold
             )
             for ann, (x, y) in zip(anns[:n], corners[start : start + n]):
                 objects.extend(_shift_object(o, x, y) for o in ann.objects)
@@ -449,23 +440,15 @@ class ExportPredictor:
 
     def predict_batch_collect(self, handle) -> List[ImageAnnotation]:
         """Host half: fetch each chunk's decode arrays and assemble."""
-        import jax
-
         if handle is None:
             return []
         chunks, pils = handle
         annotations: List[ImageAnnotation] = []
         for dec, out_hw, n in chunks:
-            anchors, parts, part_parent, part_valid = jax.device_get(
-                (dec["anchors"], dec["parts"], dec["part_parent"],
-                 dec["part_valid"])
+            anns, _, _ = self.decoder.fetch_and_materialize(
+                dec, out_hw, self.config.conf_threshold
             )
-            annotations.extend(
-                self.decoder.materialize(
-                    anchors, parts, part_parent, part_valid, out_hw,
-                    self.config.conf_threshold,
-                )[:n]
-            )
+            annotations.extend(anns[:n])
 
         for ann, im in zip(annotations, pils):
             ann.resize((self.config.width, self.config.height), im.size)

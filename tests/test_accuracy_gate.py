@@ -127,3 +127,18 @@ def test_accuracy_gate_driver(gate_env, tmp_path, monkeypatch):
     for s in payload["summaries"].values():
         assert "kps/f1_total" in s
     assert "| int8_static |" in payload["table"]
+
+
+def test_check_floors_skips_inapplicable_metrics():
+    """An absent metric (e.g. grouping/accuracy on a parts-free
+    dataset) must be skipped, not treated as 0.0 and failed."""
+    from tools.accuracy_gate import check_floors
+
+    floors = {"kps/f1_total": 0.7, "grouping/accuracy": 0.8}
+    skipped, failures = check_floors({"kps/f1_total": 0.9}, floors)
+    assert skipped == ["grouping/accuracy"]
+    assert failures == []
+    skipped, failures = check_floors(
+        {"kps/f1_total": 0.5, "grouping/accuracy": 0.9}, floors)
+    assert skipped == [] and len(failures) == 1
+    assert "kps/f1_total" in failures[0]

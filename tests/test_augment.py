@@ -73,6 +73,17 @@ def test_legacy_flip_rate():
     assert 0.47 < rate_u < 0.53
 
 
+def test_legacy_flip_honors_probability_edges():
+    """--flip_prob 0/1 must be exact off/on switches even in legacy
+    mode: the raw randn comparison would flip ~50% at prob=0 and only
+    ~84% at prob=1."""
+    rng = np.random.default_rng(1)
+    off = RandomHorizontalFlip(prob=0.0, rng=rng, legacy_flip=True)
+    assert not any(off._trigger() for _ in range(200))
+    on = RandomHorizontalFlip(prob=1.0, rng=rng, legacy_flip=True)
+    assert all(on._trigger() for _ in range(200))
+
+
 def test_color_jitter_keeps_annotation_and_shape():
     img, ann = make_pair()
     out_img, out_ann = RandomColorJitter(rng=np.random.default_rng(3))(img, ann)

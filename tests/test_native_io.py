@@ -324,6 +324,22 @@ def test_decode_bytes_rejects_garbage():
         native.decode_bytes(b"\xff\xd8\xff\xe0trunc", 32, 32)
 
 
+def test_decode_bytes_rejects_mid_scan_truncation(jpeg_file):
+    """A JPEG cut off mid-scan is 'decoded' by libjpeg via a faked EOI
+    marker plus a *warning* (not an error), yielding a half-gray image.
+    PIL raises on the same bytes; the serving path guarantees 400. The
+    native decoder must fail it, not serve garbage detections."""
+    data = jpeg_file.read_bytes()
+    cut = data[: int(len(data) * 0.6)]  # past header, mid scan data
+    with pytest.raises(IOError):
+        native.decode_bytes(cut, 32, 32)
+    # and the file-based loader must reject the same truncation
+    trunc = jpeg_file.parent / "trunc.jpg"
+    trunc.write_bytes(cut)
+    with pytest.raises(IOError):
+        native.load_image(trunc, 32, 32)
+
+
 def test_dataset_item_falls_back_to_pil_without_device_augment(tmp_path):
     """--native_io (default) + --no_augmentation must fall back to the
     PIL item path, not crash in TrainAugmentation.native_apply (which

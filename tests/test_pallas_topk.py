@@ -43,6 +43,8 @@ def _planes(x: np.ndarray):
         ((4, 16, 16, 2), 5),   # plane count 8: one 8-plane step
         ((1, 32, 32, 1), 40),  # k > peak count: zeros selected, asc index
         ((2, 24, 40, 3), 7),   # H not a multiple of 8 planes * ...
+        ((5, 16, 16, 2), 6),   # plane count 10: padded to 16, one step
+        ((25, 16, 16, 2), 4),  # plane count 50: padded to 56, 8-plane steps
     ],
 )
 def test_fused_topk_matches_xla(rng, shape, k):
@@ -78,7 +80,11 @@ def test_fused_topk_bit_exact_on_hardware(rng):
     bit for bit at the flagship serving shapes (anchors C=2 k=20,
     parts C=1 k=40 at 128x128) and at a P=16-blocked plane count."""
     for shape, k in (((128, 128, 128, 2), 20), ((128, 128, 128, 1), 40),
-                     ((8, 64, 64, 2), 7)):
+                     ((8, 64, 64, 2), 7),
+                     # plane count 100 (e.g. detect --eval_batch_size 50
+                     # x 2 labels): indivisible by 8, must pad instead
+                     # of falling back to one VMEM-overflowing block.
+                     ((50, 128, 128, 2), 20)):
         x = rng.normal(0, 3, size=shape).astype(np.float32)
         want_v, want_i = _reference(x, k)
         got_v, got_i = fused_sigmoid_nms_topk(_planes(x), k)

@@ -45,6 +45,23 @@ DEFAULT_FLOORS = {
 }
 
 
+def check_floors(base: dict, floors: dict):
+    """Split floor checks into (skipped, failures).
+
+    A metric absent from the summary is *not applicable* (e.g.
+    grouping/accuracy is only emitted when at least one part matched;
+    a parts-free dataset would otherwise always fail the grouping
+    floor at a defaulted 0.0) — skipped, not failed.
+    """
+    skipped = [k for k in floors if k not in base]
+    failures = [
+        f"{key} {base[key]:.4f} < floor {floor:.2f}"
+        for key, floor in floors.items()
+        if key in base and base[key] < floor
+    ]
+    return skipped, failures
+
+
 def run_evaluate(ckpt, args, out_json):
     from structuredetector_tpu.cli import evaluate
 
@@ -151,11 +168,9 @@ def main(argv=None):
         "classif/f1_total": args.min_classif,
         "grouping/accuracy": args.min_grouping,
     }
-    failures = [
-        f"{key} {base.get(key, 0.0):.4f} < floor {floor:.2f}"
-        for key, floor in floors.items()
-        if base.get(key, 0.0) < floor
-    ]
+    skipped, failures = check_floors(base, floors)
+    for key in skipped:
+        print(f"gate: {key} not applicable on this dataset — floor skipped")
     verdict = "PASS" if not failures else "FAIL: " + "; ".join(failures)
     print(f"\ngate: {verdict}")
 
