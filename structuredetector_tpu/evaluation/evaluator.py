@@ -159,7 +159,12 @@ class Evaluation:
         for label, errs in by_label.items():
             conf = np.zeros((PART_COUNT_BUCKETS, PART_COUNT_BUCKETS))
             for _, p, e in errs:
-                conf[e, p] += 1
+                # clamp into the 0..9 bucket space: the strict variant
+                # records raw GT part counts (an 11-leaf object would
+                # IndexError), and the reference's classification space
+                # itself caps at 9 (evaluator.py:422-427)
+                conf[min(e, PART_COUNT_BUCKETS - 1),
+                     min(p, PART_COUNT_BUCKETS - 1)] += 1
             np.save(Path(save_dir) / f"conf_mat_{label}.npy", conf)
 
     def __repr__(self):
@@ -750,7 +755,7 @@ class Evaluator:
             out[f"{name}/precision_total"] = total.precision
             out[f"{name}/recall_total"] = total.recall
             out[f"{name}/csi_total"] = total.csi
-            if total.avg_acc is not None:
+            if total.acc:  # avg_acc is nan (never None) with no matches
                 out[f"{name}/acc_total"] = total.avg_acc
             # per-label scalars mirror the reference's per-label TB dicts
             # (trainer.py:240-255: precision/recall/f1 + loc accuracy)

@@ -46,9 +46,14 @@ def maybe_initialize_distributed(coordinator_address=None, num_processes=None,
                 process_id=process_id,
             )
             return True
-    except RuntimeError:
-        # already initialized
-        return True
+    except RuntimeError as e:
+        # Only swallow the benign re-init case. A connect failure (bad
+        # coordinator address, coordinator down) must fail fast: every
+        # worker would otherwise proceed as process_count()==1 and
+        # silently train an unsharded duplicate run.
+        if "already initialized" in str(e).lower():
+            return True
+        raise
     return jax.process_count() > 1
 
 

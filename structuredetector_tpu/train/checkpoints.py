@@ -13,6 +13,8 @@ Two tiers (SURVEY.md §5):
 
 from __future__ import annotations
 
+import json
+import os
 from pathlib import Path
 from typing import Any, Optional
 
@@ -56,7 +58,16 @@ class CheckpointManager:
 
 
 class BestModelSaver:
-    """Track best loss / CSI / classif / kp-F1 and snapshot variables."""
+    """Track best loss / CSI / classif / kp-F1 and snapshot variables.
+
+    The best metrics are persisted to `best_metrics.json` next to the
+    snapshots and reloaded on construction: a resumed run (`--resume`
+    points at the same trainings/<ts> dir) must NOT restart from
+    best_*=0.0 — its first validation would otherwise unconditionally
+    overwrite every model_best_*.msgpack with whatever it scores,
+    silently discarding strictly better pre-preemption snapshots."""
+
+    _STATE_FILE = "best_metrics.json"
 
     def __init__(self, save_dir):
         self.save_dir = Path(save_dir)
@@ -70,6 +81,35 @@ class BestModelSaver:
         # at epoch 2 and say nothing (a metric that ticks once early and
         # flatlines); staleness() makes that visible at the end of a run
         self.captured_epoch = {k: -1 for k in ("loss", "csi", "classif", "kp_reg")}
+        self._load()
+
+    def _load(self):
+        path = self.save_dir / self._STATE_FILE
+        if not path.exists():
+            return
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            return  # corrupt/partial file: fall back to fresh tracking
+        self.best_loss = float(data.get("best_loss", self.best_loss))
+        self.best_csi = float(data.get("best_csi", self.best_csi))
+        self.best_classif = float(data.get("best_classif", self.best_classif))
+        self.best_kp_reg = float(data.get("best_kp_reg", self.best_kp_reg))
+        for k, e in data.get("captured_epoch", {}).items():
+            if k in self.captured_epoch:
+                self.captured_epoch[k] = int(e)
+
+    def _persist(self):
+        path = self.save_dir / self._STATE_FILE
+        tmp = path.with_suffix(".json.tmp")
+        tmp.write_text(json.dumps({
+            "best_loss": self.best_loss,
+            "best_csi": self.best_csi,
+            "best_classif": self.best_classif,
+            "best_kp_reg": self.best_kp_reg,
+            "captured_epoch": self.captured_epoch,
+        }))
+        os.replace(tmp, path)  # atomic vs preemption mid-write
 
     def update(self, variables: Any, *, loss: float, csi_f1: float,
                classif_f1: float, kp_f1: float, epoch: int = -1) -> list:
@@ -92,6 +132,8 @@ class BestModelSaver:
             saved.append("kp_reg")
         for k in saved:
             self.captured_epoch[k] = epoch
+        if saved:
+            self._persist()
         return saved
 
     def staleness_report(self, final_epoch: int, stale_after: int = 10) -> list:

@@ -42,7 +42,12 @@ from .steps import kp_to_device_dict, make_eval_step, make_train_step
 class MetricsWriter:
     """TensorBoard writer; silently no-ops if tensorboard is missing."""
 
-    def __init__(self, log_dir=None):
+    def __init__(self, log_dir=None, enabled: bool = True):
+        # enabled=False builds a no-op writer (non-lead multi-host
+        # processes): every method already guards on self._w.
+        if not enabled:
+            self._w = None
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -288,9 +293,7 @@ class Trainer:
         else:
             self.save_dir = Path("trainings") / f"{datetime.now():%Y-%m-%d_%H-%M-%S}"
             self.save_dir.mkdir(parents=True, exist_ok=True)
-        self.writer = MetricsWriter(self.save_dir / "tb") if self.log else MetricsWriter.__new__(MetricsWriter)
-        if not self.log:
-            self.writer._w = None
+        self.writer = MetricsWriter(self.save_dir / "tb", enabled=self.log)
         self.checkpoints = CheckpointManager(self.save_dir)
         self.best_models = BestModelSaver(self.save_dir)
 
@@ -494,11 +497,17 @@ class Trainer:
                     self.train_augmentation.trigger_random_resize(start_epoch)
 
         self._install_preemption_handlers()
-        if self.config.stall_timeout_s > 0:
-            self._watchdog = StallWatchdog(self.config.stall_timeout_s).start()
         try:
+            # Prewarm BEFORE arming the watchdog: a cold bucket compile
+            # is legitimate startup work of unbounded duration (minutes
+            # through this backend) and must not trip a tight
+            # --stall_timeout_s into an os._exit(87) -> --resume ->
+            # identical-cold-compile crash loop. Prewarm exists
+            # precisely so the steady-state timeout can be tight.
             if self.config.prewarm:
                 self.prewarm()
+            if self.config.stall_timeout_s > 0:
+                self._watchdog = StallWatchdog(self.config.stall_timeout_s).start()
             for epoch in tqdm(range(start_epoch, self.config.epochs),
                               initial=start_epoch, total=self.config.epochs,
                               desc="Training", unit="epoch"):
@@ -586,9 +595,11 @@ class Trainer:
         wd = self._watchdog
         beat_floor_s = wd.timeout_s / 3.0 if wd is not None else None
         last_fetch_t = _time.monotonic()
+        trace_active = False
         for i, batch in enumerate(batches):
             if profile_this and i == 5:
                 jax.profiler.start_trace(str(self.save_dir / "profile"))
+                trace_active = True
             images = batch["image"]
             kp = batch["keypoints"]
             if not isinstance(kp, dict):
@@ -597,9 +608,10 @@ class Trainer:
             if self._ema_update is not None:
                 self.ema_params = self._ema_update(
                     self.ema_params, self.state.params, self.state.step)
-            if profile_this and i == 10:
+            if trace_active and i == 10:
                 jax.block_until_ready(self.state.params)
                 jax.profiler.stop_trace()
+                trace_active = False
                 self._profiled = True
                 profile_this = False
 
@@ -619,6 +631,15 @@ class Trainer:
             self.global_step += cfg.batch_size
             if self._preempted:  # SIGTERM/SIGINT: stop at the batch boundary
                 break
+
+        if trace_active:
+            # epochs shorter than 11 batches (or a preemption between
+            # i=5 and i=10) never hit the i==10 stop; an unterminated
+            # trace makes next epoch's start_trace raise and leaks the
+            # profile. Close it at the epoch boundary instead.
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
+            self._profiled = True
 
         self.writer.scalar(
             "Learning rate", float(self.lr_schedule(int(self.state.step))),
@@ -644,6 +665,28 @@ class Trainer:
             # weights; BN stats stay the live running averages
             variables = {"params": self.ema_params,
                          "batch_stats": self.state.batch_stats}
+        if self.process_count > 1:
+            # Multi-host: the train step committed params to the GLOBAL
+            # mesh (devices on other hosts included); the plain-jit eval
+            # below feeds process-LOCAL batches, and mixing the two
+            # raises "incompatible devices". Gather a host-local copy of
+            # the variables instead (collective — valid() runs on every
+            # process at the same epochs) and validate locally. Each
+            # process redundantly evaluates the full (unsharded) valid
+            # set; only the lead logs and snapshots. The jit identity
+            # with replicated out_shardings is an SPMD all-gather that
+            # works for ANY input sharding (process_allgather would
+            # stack/concat along axis 0, wrong for Cout-sharded convs);
+            # device_get then reads the now-local replica.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            replicate = jax.jit(
+                lambda t: t,
+                out_shardings=NamedSharding(self.mesh, PartitionSpec()),
+            )
+            variables = jax.tree.map(
+                jnp.asarray, jax.device_get(replicate(variables))
+            )
 
         loss_sums: Dict[str, float] = {}
         n = 0

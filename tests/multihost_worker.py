@@ -114,7 +114,33 @@ def main():
     checksum = float(
         sum(np.abs(x).sum() for x in jax.tree.leaves(jax.device_get(state.params)))
     )
-    print(json.dumps({"pid": pid, "loss": loss, "checksum": checksum}), flush=True)
+
+    # Validation path (Trainer.valid multi-host contract): params are
+    # committed to the global mesh, so a plain-jit eval over process-
+    # local batches must run on a replicated host-local copy — mixing
+    # global params with local arrays raises "incompatible devices".
+    # Same recipe as Trainer.valid: jit identity with replicated
+    # out_shardings (a collective), then device_get the local replica.
+    from jax.sharding import NamedSharding, PartitionSpec  # noqa: E402
+
+    from structuredetector_tpu.train.steps import make_eval_step  # noqa: E402
+
+    replicate = jax.jit(
+        lambda t: t, out_shardings=NamedSharding(mesh, PartitionSpec())
+    )
+    local_vars = jax.tree.map(
+        jax.numpy.asarray, jax.device_get(replicate(state.variables))
+    )
+    eval_step = make_eval_step(model, cfg, out_h=8, out_w=8)
+    samples = [sample(i, cfg) for i in range(2)]  # same data on every proc
+    images = np.stack([smp["image"] for smp in samples])
+    kp = {k: np.stack([smp[k] for smp in samples])
+          for k in samples[0] if k != "image"}
+    _, eval_stats, _ = eval_step(local_vars, jax.numpy.asarray(images), kp)
+    eval_loss = float(eval_stats["total_loss"])
+
+    print(json.dumps({"pid": pid, "loss": loss, "checksum": checksum,
+                      "eval_loss": eval_loss}), flush=True)
 
 
 if __name__ == "__main__":

@@ -361,6 +361,15 @@ def test_request_decoder_feed_signatures():
     with pytest.raises(Exception):
         make_request_decoder(Feed(True, False), use_native=False)(data[:20])
 
+    # The native path honors the same 400-on-truncation guarantee —
+    # both header-level and MID-SCAN truncation (libjpeg 'succeeds' on
+    # the latter with a faked EOI + warning; must not serve garbage).
+    native_dec = make_request_decoder(Feed(True, False), use_native=True)
+    with pytest.raises(Exception):
+        native_dec(data[:20])
+    with pytest.raises(Exception):
+        native_dec(data[: int(len(data) * 0.6)])
+
 
 def test_serve_requires_v4_native_for_request_decode(monkeypatch):
     """A v3 libsdnet_io.so passes available() (file loaders work) but

@@ -144,6 +144,31 @@ def test_best_model_saver(tmp_path):
     assert set(saved) == {"loss", "classif"}
 
 
+def test_best_model_saver_survives_resume(tmp_path):
+    """A resumed run (same trainings dir) must not restart best metrics
+    at 0.0 — its first, typically-worse validation would overwrite every
+    model_best_* snapshot captured before the preemption."""
+    cfg = make_config()
+    _, variables = init_model(cfg)
+    saver = BestModelSaver(tmp_path)
+    saver.update(variables, loss=1.0, csi_f1=0.8, classif_f1=0.6, kp_f1=0.9,
+                 epoch=20)
+    best_bytes = (tmp_path / "model_best_csi.msgpack").read_bytes()
+
+    resumed = BestModelSaver(tmp_path)  # fresh object, same dir
+    assert resumed.best_csi == 0.8 and resumed.best_loss == 1.0
+    assert resumed.captured_epoch["csi"] == 20
+    # a worse post-resume validation must NOT overwrite the snapshots
+    saved = resumed.update(variables, loss=1.5, csi_f1=0.55, classif_f1=0.3,
+                           kp_f1=0.7, epoch=21)
+    assert saved == []
+    assert (tmp_path / "model_best_csi.msgpack").read_bytes() == best_bytes
+    # corrupt state file degrades to fresh tracking, not a crash
+    (tmp_path / "best_metrics.json").write_text("{not json")
+    fresh = BestModelSaver(tmp_path)
+    assert fresh.best_csi == 0.0
+
+
 def test_train_step_with_device_augment():
     """Regression: augmented step must trace cleanly (the device_augment
     module used to be imported inside the trace, leaking its constants
