@@ -29,6 +29,7 @@
 #include <vector>
 
 #include <jpeglib.h>
+#include <jerror.h>
 #include <png.h>
 
 namespace {
@@ -41,11 +42,25 @@ struct Image {
 struct JpegErr {
   jpeg_error_mgr mgr;
   jmp_buf jmp;
+  bool truncated = false;
 };
 
 void jpeg_err_exit(j_common_ptr cinfo) {
   JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
   longjmp(err->jmp, 1);
+}
+
+// Corrupt-data warnings: only premature EOF (JWRN_JPEG_EOF — libjpeg
+// pads a truncated stream with fake EOI and "succeeds" with a half-gray
+// image) must fail the decode, matching PIL's load() which raises on
+// truncation but decodes fine through benign warnings like "extraneous
+// bytes before marker" (common camera output). Overriding emit_message
+// also silences the default stderr chatter.
+void jpeg_emit_message(j_common_ptr cinfo, int msg_level) {
+  if (msg_level < 0) {
+    JpegErr* err = reinterpret_cast<JpegErr*>(cinfo->err);
+    if (cinfo->err->msg_code == JWRN_JPEG_EOF) err->truncated = true;
+  }
 }
 
 bool decode_jpeg(const char* path, int target_w, int target_h, Image* out) {
@@ -56,6 +71,7 @@ bool decode_jpeg(const char* path, int target_w, int target_h, Image* out) {
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
+  jerr.mgr.emit_message = jpeg_emit_message;
   if (setjmp(jerr.jmp)) {
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
@@ -93,11 +109,10 @@ bool decode_jpeg(const char* path, int target_w, int target_h, Image* out) {
   // libjpeg treats premature EOF (truncated file) as a *warning* and
   // fakes an EOI marker, so error_exit never fires and the decode
   // "succeeds" with a half-gray image. PIL raises on the same input;
-  // match it by failing on any corrupt-data warning.
-  const long warnings = cinfo.err->num_warnings;
+  // match it by failing on truncation (see jpeg_emit_message).
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
-  return out->c == 3 && warnings == 0;
+  return out->c == 3 && !jerr.truncated;
 }
 
 // In-memory JPEG decode (the serving request path: the payload is
@@ -109,6 +124,7 @@ bool decode_jpeg_mem(const uint8_t* buf, size_t len, int target_w,
   JpegErr jerr;
   cinfo.err = jpeg_std_error(&jerr.mgr);
   jerr.mgr.error_exit = jpeg_err_exit;
+  jerr.mgr.emit_message = jpeg_emit_message;
   if (setjmp(jerr.jmp)) {
     jpeg_destroy_decompress(&cinfo);
     return false;
@@ -145,10 +161,10 @@ bool decode_jpeg_mem(const uint8_t* buf, size_t len, int target_w,
   // Truncated payloads reach here "successfully": libjpeg raises only
   // a warning (JWRN_JPEG_EOF) and pads with fake EOI. The serving path
   // guarantees 400 on truncation (serve.make_request_decoder), so a
-  // corrupt-data warning must fail the decode like PIL's load() does.
-  const long warnings = cinfo.err->num_warnings;
+  // truncation warning must fail the decode like PIL's load() does
+  // (benign warnings pass — see jpeg_emit_message).
   jpeg_destroy_decompress(&cinfo);
-  return out->c == 3 && warnings == 0;
+  return out->c == 3 && !jerr.truncated;
 }
 
 struct PngMemCursor {

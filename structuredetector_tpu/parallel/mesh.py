@@ -47,11 +47,13 @@ def maybe_initialize_distributed(coordinator_address=None, num_processes=None,
             )
             return True
     except RuntimeError as e:
-        # Only swallow the benign re-init case. A connect failure (bad
-        # coordinator address, coordinator down) must fail fast: every
-        # worker would otherwise proceed as process_count()==1 and
-        # silently train an unsharded duplicate run.
-        if "already initialized" in str(e).lower():
+        # Only swallow the benign re-init case ("jax.distributed.initialize
+        # should only be called once", jax._src.distributed). A connect
+        # failure (bad coordinator address, coordinator down) must fail
+        # fast: every worker would otherwise proceed as
+        # process_count()==1 and silently train an unsharded duplicate run.
+        msg = str(e).lower()
+        if "only be called once" in msg or "already initialized" in msg:
             return True
         raise
     return jax.process_count() > 1

@@ -230,21 +230,20 @@ class Predictor:
         max(host phase, device phase) instead of their sum."""
         if not images:
             return None
-        pils = []
+        pils, arrays = [], []
         for im in images:
             if isinstance(im, PreparedImage):
                 pils.append(im)
+                arrays.append(im.array)
                 continue
             if not isinstance(im, Image.Image):
                 im = Image.open(im)
             if im.mode != "RGB":
                 im = im.convert("RGB")
             pils.append(im)
+            arrays.append(self.transform(im))
 
-        batch = jnp.asarray(np.stack([
-            im.array if isinstance(im, PreparedImage) else self.transform(im)
-            for im in pils
-        ]))
+        batch = jnp.asarray(np.stack(arrays))
         dec, out_hw = self._device_decode(batch)
         return dec, out_hw, pils
 
@@ -408,22 +407,20 @@ class ExportPredictor:
 
         if not images:
             return None
-        pils = []
+        pils, arrs = [], []
         for im in images:
             if isinstance(im, PreparedImage):
                 pils.append(im)
+                arrs.append(im.array)
                 continue
             if not isinstance(im, Image.Image):
                 im = Image.open(im)
             if im.mode != "RGB":
                 im = im.convert("RGB")
             pils.append(im)
+            arrs.append(self._transform(im))
 
         cfg = self.config
-        arrs = [
-            im.array if isinstance(im, PreparedImage) else self._transform(im)
-            for im in pils
-        ]
         step = self.batch_size or len(arrs)
         chunks = []
         for start in range(0, len(arrs), step):

@@ -194,6 +194,7 @@ class MicroBatcher:
         host prep/transfer and device compute overlap."""
         submit, collect = self._split
         pending = None  # (items, handle) in flight on the device
+        nxt = None
         shutdown = False
         try:
             while True:
@@ -232,6 +233,19 @@ class MicroBatcher:
                         self._collect_batch(collect, pending)
                     return
         finally:
+            # A KeyboardInterrupt/SystemExit re-raised by _fail_items can
+            # unwind while ANOTHER batch is still in flight (submit of
+            # N+1 dying leaves N pending; collect of N dying leaves N+1
+            # just submitted). Those items already left the queue, so the
+            # drain below can't rescue them — fail their waiters here.
+            # Served items are skipped (done already set).
+            err = RuntimeError("batcher shut down while a batch was in flight")
+            for inflight in (pending, nxt):
+                if inflight is not None:
+                    for _, done, slot in inflight[0]:
+                        if not done.is_set():
+                            slot["error"] = err
+                            done.set()
             self._drain_on_exit()
 
     def _drain_on_exit(self):

@@ -40,6 +40,31 @@ def test_process_slice_drops_ragged():
     assert process_slice([0, 1, 2], 0, 2) is None
 
 
+def test_initialize_distributed_swallows_double_init(monkeypatch):
+    """The benign re-init RuntimeError (jax 0.9: 'jax.distributed.initialize
+    should only be called once.') is a no-op returning True; a connect
+    failure must re-raise (silent single-process fallback would train an
+    unsharded duplicate run on every worker)."""
+    import jax
+
+    from structuredetector_tpu.parallel.mesh import maybe_initialize_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1")
+
+    def double_init(**kwargs):
+        raise RuntimeError("jax.distributed.initialize should only be called once.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", double_init)
+    assert maybe_initialize_distributed() is True
+
+    def connect_fail(**kwargs):
+        raise RuntimeError("Failed to connect to coordinator at 127.0.0.1:1")
+
+    monkeypatch.setattr(jax.distributed, "initialize", connect_fail)
+    with pytest.raises(RuntimeError, match="connect"):
+        maybe_initialize_distributed()
+
+
 def test_loader_process_partitioning():
     """All processes agree on the global order; slices are disjoint and
     contiguous per batch."""

@@ -340,6 +340,25 @@ def test_decode_bytes_rejects_mid_scan_truncation(jpeg_file):
         native.load_image(trunc, 32, 32)
 
 
+def test_decode_bytes_tolerates_benign_corrupt_data_warning(jpeg_file):
+    """Only TRUNCATION (JWRN_JPEG_EOF) may fail a decode. Other
+    corrupt-data warnings — here 'extraneous bytes before marker 0xd9',
+    common in camera output with trailing garbage — decode fully in PIL
+    and must decode here too, byte-identically to the clean stream."""
+    data = jpeg_file.read_bytes()
+    assert data[-2:] == b"\xff\xd9"
+    noisy = data[:-2] + b"\x00garbage\x00" + data[-2:]
+    clean, size_clean = native.decode_bytes(data, 32, 32)
+    out, size = native.decode_bytes(noisy, 32, 32)
+    assert size == size_clean
+    np.testing.assert_array_equal(out, clean)
+    # and via the file-based loader
+    noisy_path = jpeg_file.parent / "noisy.jpg"
+    noisy_path.write_bytes(noisy)
+    out_f, _ = native.load_image(noisy_path, 32, 32)
+    np.testing.assert_array_equal(out_f, clean)
+
+
 def test_dataset_item_falls_back_to_pil_without_device_augment(tmp_path):
     """--native_io (default) + --no_augmentation must fall back to the
     PIL item path, not crash in TrainAugmentation.native_apply (which
