@@ -181,6 +181,7 @@ class FakeSplit:
         self.events = []
         self.block_first_submit = threading.Event()
         self.fail_collect_for = None  # handle id to fail
+        self.collect_exc = RuntimeError  # what a failing collect raises
 
     def submit(self, images):
         handle = (len(self.events), [f"r{i}" for i in range(len(images))])
@@ -196,7 +197,7 @@ class FakeSplit:
         hid, results = handle
         self.events.append(("collect", hid))
         if self.fail_collect_for == hid:
-            raise RuntimeError("device exploded")
+            raise self.collect_exc("device exploded")
         return results
 
 
@@ -264,6 +265,49 @@ def test_pipelined_shutdown_collects_inflight_batch():
     t.join(timeout=5)
     closer.join(timeout=5)
     assert out["r"] == "r0"  # the in-flight batch was still served
+
+
+def test_pipelined_base_exception_fails_all_inflight_waiters(monkeypatch):
+    """A BaseException (KeyboardInterrupt/SystemExit) unwinding the
+    pipelined loop while TWO batches are in flight must fail BOTH
+    batches' waiters — those items already left the queue, so the
+    shutdown drain can't rescue them. Pre-fix, the just-submitted
+    batch's clients hung until the submit timeout (forever when None)."""
+    # the SystemExit deliberately kills the daemon worker thread; keep
+    # pytest's thread-exception plugin from flagging the expected death
+    monkeypatch.setattr(threading, "excepthook", lambda args: None)
+    fake = FakeSplit()
+    fake.fail_collect_for = 0  # first submit's handle id
+    fake.collect_exc = SystemExit
+    b = MicroBatcher(lambda images: None, max_batch=4, window_ms=1.0,
+                     predict_split=(fake.submit, fake.collect))
+    errs = {}
+
+    def post(key):
+        try:
+            errs[key] = b.submit(f"img_{key}", timeout=10)
+        except BaseException as e:  # noqa: BLE001 — capture for asserts
+            errs[key] = e
+
+    t1 = threading.Thread(target=post, args=(1,), daemon=True)
+    t1.start()
+    while not fake.events:
+        time.sleep(0.005)
+    # batch 1 is wedged inside submit; queue batch 2 behind it
+    t2 = threading.Thread(target=post, args=(2,), daemon=True)
+    t2.start()
+    while b.queue_depth == 0:
+        time.sleep(0.005)
+    fake.block_first_submit.set()
+    # pipelined order: submit(b1) -> submit(b2) -> collect(b1) raises
+    # SystemExit with b2 still in flight
+    t1.join(timeout=5)
+    t2.join(timeout=5)
+    assert not t1.is_alive(), "batch-1 waiter hung"
+    assert not t2.is_alive(), "in-flight batch-2 waiter hung"
+    assert isinstance(errs[1], RuntimeError)  # wrapped SystemExit
+    assert isinstance(errs[2], RuntimeError)
+    assert "in flight" in str(errs[2])
 
 
 def test_make_server_pipeline_wiring():
