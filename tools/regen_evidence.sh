@@ -23,6 +23,11 @@ export PYTHONPATH="$(pwd)${PYTHONPATH:+:$PYTHONPATH}"
 
 DATA=${DATA:-_runs/synth512v6}
 SEED=${SEED:-20260818}
+# EPOCHS=100 reproduces the round-4 arm-B run exactly; lower values
+# (e.g. EPOCHS=40) trade headline CSI for wall-clock when a session
+# has to restore evidence quickly — the structural floors pass well
+# before epoch 100 at embedding_weight 1.0.
+EPOCHS=${EPOCHS:-100}
 mkdir -p _runs/eval
 
 if [ ! -f "$DATA/train/im_1199.json" ]; then
@@ -37,7 +42,7 @@ if [ "${1:-}" != "--skip-train" ]; then
   bash tools/train_supervised.sh -n 5 -- \
     --train_dir $DATA/train --valid_dir $DATA/valid \
     --labels labels.json --anchor_name stem --hm_loss_fn focal \
-    --batch_size 32 --epochs 100 --seed "$SEED" --eval_batch_size 8 \
+    --batch_size 32 --epochs "$EPOCHS" --seed "$SEED" --eval_batch_size 8 \
     --embedding_weight 1.0 --stall_timeout_s 900 \
     --compile_cache _runs/xla-cache-train \
     > _runs/train_r4_embw1.log 2>&1
