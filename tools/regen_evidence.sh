@@ -9,11 +9,11 @@
 # Artifacts restored (doc references in parentheses):
 #   _runs/synth512v6/                dataset, generated if absent
 #   trainings/<ts>/                  arm-B flagship run (embedding_weight 1.0)
-#   _runs/eval/gate_r4_embw1.json    structural gate (DESIGN "Structural grouping")
-#   _runs/eval/oracle_r4_CD.json     oracle arms C/D (DESIGN.md:729)
-#   _runs/load_test_r4b.json         serve percentile sweep (DESIGN.md:279)
+#   _runs/eval/gate_r4_embw1${SUF}.json    structural gate (DESIGN "Structural grouping")
+#   _runs/eval/oracle_r4_CD${SUF}.json     oracle arms C/D (DESIGN.md:729)
+#   _runs/load_test_r4b${SUF}.json         serve percentile sweep (DESIGN.md:279)
 #   _runs/probe_transfer.json        tunnel transfer probe (DESIGN.md:264)
-#   _runs/eval/sweep_r4.json         conf sweep operating points
+#   _runs/eval/sweep_r4${SUF}.json         conf sweep operating points
 #
 # Usage: tools/regen_evidence.sh [--skip-train]
 #   --skip-train  gate the newest trainings/ dir instead of training.
@@ -28,6 +28,16 @@ SEED=${SEED:-20260818}
 # has to restore evidence quickly — the structural floors pass well
 # before epoch 100 at embedding_weight 1.0.
 EPOCHS=${EPOCHS:-100}
+# Only the canonical EPOCHS=100 run may write the flagship artifact
+# names cited by DESIGN.md/README. Shorter restores get an .e${EPOCHS}
+# suffix so a wall-clock-bounded run can't silently replace the
+# headline evidence with non-reproducing numbers (advisor r4).
+SUF=""
+if [ "$EPOCHS" != "100" ]; then
+  SUF=".e${EPOCHS}"
+  echo "[regen] WARNING: EPOCHS=${EPOCHS} != 100 — this run will NOT" \
+       "reproduce the flagship headline; artifacts get suffix '${SUF}'" >&2
+fi
 mkdir -p _runs/eval
 
 if [ ! -f "$DATA/train/im_1199.json" ]; then
@@ -45,7 +55,7 @@ if [ "${1:-}" != "--skip-train" ]; then
     --batch_size 32 --epochs "$EPOCHS" --seed "$SEED" --eval_batch_size 8 \
     --embedding_weight 1.0 --stall_timeout_s 900 \
     --compile_cache _runs/xla-cache-train \
-    > _runs/train_r4_embw1.log 2>&1
+    > _runs/train_r4_embw1${SUF}.log 2>&1
   echo "[regen] train exit=$? at $(date)"
 fi
 
@@ -53,7 +63,7 @@ FIX_DIR="$(ls -d trainings/*/ 2>/dev/null | sort | tail -1)"
 if [ -z "$FIX_DIR" ] || [ ! -f "$FIX_DIR/model_best_csi.msgpack" ]; then
   echo "[regen] FATAL: no model_best_csi checkpoint under trainings/" \
        "(CSI never rose above 0.0, or training died; see" \
-       "_runs/train_r4_embw1.log)"; exit 1
+       "_runs/train_r4_embw1${SUF}.log)"; exit 1
 fi
 echo "[regen] checkpoint dir: $FIX_DIR"
 
@@ -62,8 +72,8 @@ timeout 5400 python tools/accuracy_gate.py \
   "$FIX_DIR/model_best_csi.msgpack" \
   --valid_dir $DATA/valid --train_dir $DATA/train \
   --labels labels.json --anchor_name stem \
-  --out _runs/eval/gate_r4_embw1.json \
-  > _runs/eval/gate_r4_embw1.log 2>&1
+  --out _runs/eval/gate_r4_embw1${SUF}.json \
+  > _runs/eval/gate_r4_embw1${SUF}.log 2>&1
 echo "[regen] gate exit=$?"
 
 echo "[regen] oracle arms C/D"
@@ -71,8 +81,8 @@ timeout 5400 python tools/oracle_grouping.py --arms CD \
   --valid_dir $DATA/valid --labels labels.json --anchor_name stem \
   --load_model "$FIX_DIR/model_best_csi.msgpack" \
   --conf_threshold 0.4 \
-  --out _runs/eval/oracle_r4_CD.json \
-  > _runs/eval/oracle_r4_CD.log 2>&1
+  --out _runs/eval/oracle_r4_CD${SUF}.json \
+  > _runs/eval/oracle_r4_CD${SUF}.log 2>&1
 echo "[regen] oracle exit=$?"
 
 echo "[regen] serve load test (sweep 32,64,128)"
@@ -81,8 +91,8 @@ timeout 3600 python tools/load_test.py \
   --load_model "$FIX_DIR/model_best_csi.msgpack" \
   --labels labels.json --anchor_name stem --sweep 32,64,128 \
   --clients 64 --duration 25 \
-  --out _runs/load_test_r4b.json \
-  > _runs/load_test_r4b.log 2>&1
+  --out _runs/load_test_r4b${SUF}.json \
+  > _runs/load_test_r4b${SUF}.log 2>&1
 echo "[regen] load test exit=$?"
 
 echo "[regen] transfer probe (own process: it degrades its link)"
@@ -91,7 +101,7 @@ timeout 1800 python tools/probe_transfer.py \
 echo "[regen] probe exit=$?"
 
 echo "[regen] conf sweep"
-timeout 3600 python - > _runs/eval/sweep_r4.log 2>&1 <<PYEOF
+timeout 3600 python - > _runs/eval/sweep_r4${SUF}.log 2>&1 <<PYEOF
 from structuredetector_tpu.cli import evaluate
 evaluate.main([
     "--valid_dir", "$DATA/valid",
@@ -99,7 +109,7 @@ evaluate.main([
     "--labels", "labels.json", "--anchor_name", "stem",
     "--eval_batch_size", "8",
     "--conf_sweep", "0.2,0.25,0.3,0.4,0.5",
-    "--save_summary", "_runs/eval/sweep_r4.json",
+    "--save_summary", "_runs/eval/sweep_r4${SUF}.json",
 ])
 PYEOF
 echo "[regen] sweep exit=$?"
