@@ -191,7 +191,17 @@ class MicroBatcher:
     def _loop_pipelined(self):
         """Depth-2 pipeline over the (submit, collect) split: submit
         batch N+1 to the device BEFORE collecting batch N's results, so
-        host prep/transfer and device compute overlap."""
+        host prep/transfer and device compute overlap.
+
+        The early submit happens ONLY when a full `max_batch` is
+        already queued. Anything less would split the arrival stream
+        across two in-flight batches and fragment both (round-4 load
+        test: mean device batch 31 -> 21 and 44.8 -> 39.7 img/s under
+        64-client saturation with a windowed early submit; 44.8 -> 27
+        with a no-wait drain). With the full-batch guard the pipeline
+        overlaps exactly when saturation guarantees fragment-free
+        batches, and degenerates to the sync loop otherwise — one
+        shared request pool, never a split one."""
         submit, collect = self._split
         pending = None  # (items, handle) in flight on the device
         nxt = None
@@ -204,20 +214,21 @@ class MicroBatcher:
                     if first is _SHUTDOWN:
                         return
                     items, shutdown = self._gather_window(first)
-                else:
-                    # while a batch is in flight, still honor the
-                    # batching window: unfilled early submits fragment
-                    # batches under saturation (padding then wastes the
-                    # device on pad rows — measured 44.8 -> 27 img/s
-                    # with a no-wait drain here)
-                    try:
-                        first = self._queue.get(timeout=self.window_s)
-                        if first is _SHUTDOWN:
+                elif self._queue.qsize() >= self.max_batch:
+                    # full batch waiting: overlap it with the in-flight
+                    # batch (no window, no partial drain)
+                    while len(items) < self.max_batch:
+                        try:
+                            got = self._queue.get_nowait()
+                        except queue.Empty:
+                            break
+                        if got is _SHUTDOWN:
                             shutdown = True
-                        else:
-                            items, shutdown = self._gather_window(first)
-                    except queue.Empty:
-                        pass
+                            break
+                        items.append(got)
+                # else: batch in flight and queue below a full batch —
+                # collect first (items stays empty), then gather with
+                # the normal window like the sync loop
 
                 nxt = None
                 if items:
@@ -385,13 +396,11 @@ def make_server(predictor, host: str = "127.0.0.1", port: int = 8000,
     """
     # `pipeline=True` + a predictor exposing the submit/collect split
     # enables the depth-2 pipeline (host prep of batch N+1 overlaps
-    # device work of batch N). Opt-in: it wins when the host phase and
-    # the device phase genuinely overlap (+10% at fixed batch 32 even
-    # on this environment's serialized tunnel), but under saturation it
-    # splits the request pool across two in-flight batches, and where
-    # transfer dominates the cycle the resulting pad waste outweighs
-    # the overlap (measured 44.8 sync vs 39.7 pipelined at 64 clients
-    # here — see DESIGN.md "Serving throughput").
+    # device work of batch N). The early submit is gated on a FULL
+    # max_batch already queued (MicroBatcher._loop_pipelined), so the
+    # arrival stream is never split across fragmented in-flight
+    # batches — below saturation it behaves exactly like the sync
+    # loop. See DESIGN.md "Serving throughput" for measurements.
     split = None
     if pipeline and hasattr(predictor, "predict_batch_submit"):
         split = (predictor.predict_batch_submit, predictor.predict_batch_collect)
