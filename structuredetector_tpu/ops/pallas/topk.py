@@ -113,6 +113,87 @@ def _sigmoid_nms_topk_kernel(k: int, x_ref, vals_ref, inds_ref, halo):
     inds_ref[...] = inds
 
 
+def _sigmoid_nms_topk_onehot_kernel(k: int, x_ref, vals_ref, inds_ref, halo):
+    """One-hot MXU-gather variant (the follow-up quantified in the
+    module docstring): the k selection rounds carry only a (P, H)
+    per-row-max table. Each round reduces that small table to find the
+    winning (plane, row), gathers JUST that row from the read-only
+    suppressed block with a one-hot dot (MXU work, overlapping the
+    VPU), and repairs the one affected row-max. Per-round VPU cost
+    drops from O(P*H*W) (full-plane max + argmax + mask sweeps) to
+    O(P*(H + W*k_cmp)), with the O(H*W) row gather moved to the MXU.
+
+    Tie-break identical to the full-sweep kernel/_topk_iterative:
+    smallest flat index among maxima — smallest winning row first
+    (rows are the leading term of flat = y*W + x), then smallest
+    column within the row.
+    """
+    p, h, w = x_ref.shape
+
+    sups = []
+    for j in range(p):
+        sig = jnp.clip(jax.nn.sigmoid(x_ref[j]), CLAMP_EPS, 1.0 - CLAMP_EPS)
+        halo[:, :] = jnp.full((h + 2 * _PAD, w + 2 * _PAD), _MASKED, halo.dtype)
+        halo[_PAD : _PAD + h, _PAD : _PAD + w] = sig
+        m = halo[0:h, 0:w]
+        for dy in range(_WINDOW):
+            for dx in range(_WINDOW):
+                if dy == 0 and dx == 0:
+                    continue
+                m = jnp.maximum(m, halo[dy : dy + h, dx : dx + w])
+        sups.append(jnp.where(sig == m, sig, jnp.zeros_like(sig)))
+    sup = jnp.stack(sups)  # (P, H, W), read-only after this point
+
+    rows_ph = lax.broadcasted_iota(jnp.int32, (p, h), 1)
+    cols_pw = lax.broadcasted_iota(jnp.int32, (p, w), 1)
+    lane = lax.broadcasted_iota(jnp.int32, (p, k), 1)
+    rowmax0 = jnp.max(sup, axis=2)  # (P, H)
+
+    def body(i, carry):
+        rowmax, vals, inds = carry
+        gmax = jnp.max(rowmax, axis=1, keepdims=True)  # (P, 1)
+        cand_r = jnp.where(rowmax == gmax, rows_ph, _BIG)
+        r = jnp.min(cand_r, axis=1, keepdims=True)  # (P, 1) winning row
+
+        # one-hot gather of the winning row per plane: (P,H)x(P,H,W)
+        # batched mat-vec on the MXU. One-hot times value is exact in
+        # any f32 decomposition, so HIGHEST keeps it bit-identical.
+        onehot = (rows_ph == r).astype(jnp.float32)
+        row = lax.dot_general(
+            onehot, sup,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            precision=lax.Precision.HIGHEST,
+        )  # (P, W)
+
+        # re-mask elements already selected from this row in earlier
+        # rounds (sup is pristine; rowmax already accounts for them)
+        flat_row = r * w + cols_pw  # (P, W)
+        sel = jnp.where(lane < i, inds, -1)  # (P, k), -1 never matches
+        hit = jnp.any(flat_row[:, :, None] == sel[:, None, :], axis=2)
+        row = jnp.where(hit, jnp.float32(_MASKED), row)
+
+        rmax = jnp.max(row, axis=1, keepdims=True)  # == gmax
+        cand_c = jnp.where(row == rmax, cols_pw, _BIG)
+        c = jnp.min(cand_c, axis=1, keepdims=True)
+        idx = r * w + c  # (P, 1)
+
+        vals = jnp.where(lane == i, rmax, vals)
+        inds = jnp.where(lane == i, idx, inds)
+
+        # repair the single affected row-max
+        row2 = jnp.where(cols_pw == c, jnp.float32(_MASKED), row)
+        new_rmax = jnp.max(row2, axis=1, keepdims=True)  # (P, 1)
+        rowmax = jnp.where(rows_ph == r, new_rmax, rowmax)
+        return rowmax, vals, inds
+
+    _, vals, inds = lax.fori_loop(
+        0, k, body,
+        (rowmax0, jnp.zeros((p, k), jnp.float32), jnp.zeros((p, k), jnp.int32)),
+    )
+    vals_ref[...] = vals
+    inds_ref[...] = inds
+
+
 def _planes_per_step(n: int) -> int:
     # 16 planes amortize the serial per-round reduction chain (measured
     # optimum; 32 overflows the 16 MB scoped-VMEM stack). The output
@@ -129,9 +210,10 @@ def _planes_per_step(n: int) -> int:
     raise ValueError(f"plane count {n} not a multiple of 8; pad first")
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "variant"))
 def fused_sigmoid_nms_topk(
-    planes: jax.Array, k: int, interpret: bool | None = None
+    planes: jax.Array, k: int, interpret: bool | None = None,
+    variant: str = "rounds",
 ):
     """clamped_sigmoid + 5x5 plateau NMS + top-k, one fused kernel.
 
@@ -140,10 +222,18 @@ def fused_sigmoid_nms_topk(
     (values (N, k) f32, flat_indices (N, k) int32) with flat index
     y * W + x, numerically identical to
     `_topk_iterative(plateau_nms(clamped_sigmoid(x)))`.
+
+    variant: "onehot" carries a per-row-max table and gathers only
+    the winning row per round via a one-hot MXU dot; "rounds"
+    (default) is the full-plane-sweep original. Both are bit-exact vs
+    the XLA path (pinned in tests/test_pallas_topk.py); the default is
+    whichever measures faster at the serving shapes (see DESIGN.md).
     """
     n, h, w = planes.shape
     if k > h * w:
         raise ValueError(f"k={k} exceeds plane size {h}x{w}")
+    if variant not in ("rounds", "onehot"):
+        raise ValueError(f"unknown variant {variant!r}")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -160,8 +250,10 @@ def fused_sigmoid_nms_topk(
     n_total = n + n_pad
     p = _planes_per_step(n_total)
     planes = planes.astype(jnp.float32)
+    kernel = (_sigmoid_nms_topk_onehot_kernel if variant == "onehot"
+              else _sigmoid_nms_topk_kernel)
     vals, inds = pl.pallas_call(
-        functools.partial(_sigmoid_nms_topk_kernel, k),
+        functools.partial(kernel, k),
         out_shape=(
             jax.ShapeDtypeStruct((n_total, k), jnp.float32),
             jax.ShapeDtypeStruct((n_total, k), jnp.int32),

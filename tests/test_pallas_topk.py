@@ -47,22 +47,26 @@ def _planes(x: np.ndarray):
         ((25, 16, 16, 2), 4),  # plane count 50: padded to 56, 8-plane steps
     ],
 )
-def test_fused_topk_matches_xla(rng, shape, k):
+@pytest.mark.parametrize("variant", ["rounds", "onehot"])
+def test_fused_topk_matches_xla(rng, shape, k, variant):
     x = rng.normal(0, 3, size=shape).astype(np.float32)
     # inject a plateau (equal-value region) to exercise tie-breaks
     x[0, 4:7, 4:7, 0] = 2.5
     want_v, want_i = _reference(x, k)
-    got_v, got_i = fused_sigmoid_nms_topk(_planes(x), k, interpret=True)
+    got_v, got_i = fused_sigmoid_nms_topk(_planes(x), k, interpret=True,
+                                          variant=variant)
     np.testing.assert_array_equal(np.asarray(got_v), want_v)
     np.testing.assert_array_equal(np.asarray(got_i), want_i)
 
 
-def test_fused_topk_tie_break_ascending(rng):
+@pytest.mark.parametrize("variant", ["rounds", "onehot"])
+def test_fused_topk_tie_break_ascending(rng, variant):
     """All-equal plane: every pixel is its own plateau peak; selection
     must walk ascending flat indices at the shared value (the iterative
     argmax semantics the reference decode inherits from torch)."""
     x = np.zeros((1, 16, 16, 1), np.float32)
-    got_v, got_i = fused_sigmoid_nms_topk(_planes(x), 5, interpret=True)
+    got_v, got_i = fused_sigmoid_nms_topk(_planes(x), 5, interpret=True,
+                                          variant=variant)
     np.testing.assert_array_equal(np.asarray(got_i)[0], [0, 1, 2, 3, 4])
     np.testing.assert_allclose(np.asarray(got_v)[0], 0.5, atol=1e-6)
 
