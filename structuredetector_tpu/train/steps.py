@@ -83,24 +83,33 @@ def make_train_step(
                 images, kp, key, out_w=out_w, out_h=out_h,
                 flip_prob=getattr(config, "flip_prob", 0.5),
             )
-        targets = _encode_batch(kp, config, out_h, out_w)
+        # named_scope markers flow into HLO op_name metadata, so the
+        # per-HLO train ledger (tools/trace_train_ledger.py) can
+        # attribute device time to encode/forward/loss/update without
+        # guessing from opcode shapes (backward ops additionally carry
+        # jvp/transpose markers from jax.grad)
+        with jax.named_scope("encode_targets"):
+            targets = _encode_batch(kp, config, out_h, out_w)
 
         def loss_fn(params):
-            outputs, mutated = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"],
-            )
-            loss, stats = sdnet_loss(
-                outputs, targets,
-                hm_loss_fn=config.hm_loss_fn,
-                hm_weight=config.hm_weight,
-                offset_weight=config.offset_weight,
-                embedding_weight=config.embedding_weight,
-            )
+            with jax.named_scope("forward"):
+                outputs, mutated = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images, train=True, mutable=["batch_stats"],
+                )
+            with jax.named_scope("loss"):
+                loss, stats = sdnet_loss(
+                    outputs, targets,
+                    hm_loss_fn=config.hm_loss_fn,
+                    hm_weight=config.hm_weight,
+                    offset_weight=config.offset_weight,
+                    embedding_weight=config.embedding_weight,
+                )
             return loss, (stats, mutated["batch_stats"])
 
         grads, (stats, new_batch_stats) = jax.grad(loss_fn, has_aux=True)(state.params)
-        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        with jax.named_scope("adam_update"):
+            updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(
             lambda p, u: (p + u).astype(p.dtype), state.params, updates
         )
