@@ -17,12 +17,14 @@ def main(argv=None):
     )
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--max_batch", type=int, default=32,
+    p.add_argument("--max_batch", type=str, default="auto",
                    help="Device batch cap; batches pad to powers of two. "
-                        "TPU v5e throughput keeps rising to ~128 (measured, "
-                        "DESIGN.md serving section) — raise this for "
-                        "throughput-bound deployments; the default balances "
-                        "warmup compiles and tail latency.")
+                        "'auto' (default) probes the steady-state H2D "
+                        "bandwidth at startup and picks 128 when the "
+                        "transfer of an extra image is cheaper than its "
+                        "device compute, else 32 (the measured optimum "
+                        "on a degraded/tunneled transfer layer, DESIGN.md "
+                        "serving section). Pass an integer to pin it.")
     p.add_argument("--batch_window_ms", type=float, default=5.0,
                    help="How long to wait for more requests after the "
                         "first of a batch arrives.")
@@ -68,6 +70,16 @@ def main(argv=None):
             "or '--artifact <model.sdz>'."
         )
         predictor = Predictor(config)
+
+    if args.max_batch == "auto":
+        from ..serve import probe_h2d_mbps, resolve_auto_max_batch
+
+        mbps = probe_h2d_mbps()
+        args.max_batch = resolve_auto_max_batch(mbps)
+        print(f"max_batch auto: H2D ~{mbps:.0f} MB/s (steady-state) "
+              f"-> {args.max_batch}")
+    else:
+        args.max_batch = int(args.max_batch)
 
     if not args.no_warmup:
         # compile every batch shape the micro-batcher can produce now,

@@ -38,6 +38,46 @@ _SHUTDOWN = object()
 MAX_BODY_BYTES = 32 << 20  # 32 MB — generous for any real camera JPEG
 
 
+def probe_h2d_mbps(size_mb: float = 16.0) -> float:
+    """Measured steady-state host->device bandwidth in MB/s.
+
+    A tiny device->host fetch runs FIRST: on tunneled
+    single-controller backends the first fetch permanently degrades
+    the process's H2D link (1.4 GB/s -> 52 MB/s, ROADMAP.md /
+    tools/probe_transfer.py), and a serving process fetches results on
+    every batch, so the degraded figure is the only honest basis for
+    sizing batches. On a real TPU VM the fetch is harmless and the
+    probe reports the true link speed."""
+    import time
+
+    import jax
+    import numpy as np
+
+    dev = jax.devices()[0]
+    np.asarray(jax.device_put(np.zeros((8,), np.float32), dev))  # D2H once
+    buf = np.zeros((int(size_mb) * 2**20,), np.uint8)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(buf, dev))
+        best = min(best, time.perf_counter() - t0)
+    return size_mb / best
+
+
+def resolve_auto_max_batch(h2d_mbps: float,
+                           img_mb: float = 0.79,
+                           device_ms_per_img: float = 0.26) -> int:
+    """32 or 128 from the probed link speed.
+
+    128 only pays when transferring one more image costs less than
+    computing it (~0.79 MB uint8 at 512x512 vs ~0.26 ms/img at the
+    measured 3900 img/s int8 ceiling -> needs >= ~3 GB/s); below that
+    the link is the bottleneck and the round-4 percentile sweep showed
+    32 maximizes served img/s (44.8 vs 33.5 at 128, DESIGN.md)."""
+    need_mbps = img_mb / (device_ms_per_img / 1e3)
+    return 128 if h2d_mbps >= need_mbps else 32
+
+
 def _pad_pow2(n: int, cap: int) -> int:
     p = 1
     while p < n:
