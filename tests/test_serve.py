@@ -519,6 +519,34 @@ def test_predictor_variables_are_device_committed():
     assert leaves and all(isinstance(l, jax.Array) for l in leaves)
 
 
+def test_resolve_auto_max_batch_thresholds():
+    """128 only when transferring one more image is cheaper than
+    computing it; the break-even for the defaults (0.79 MB/img,
+    0.26 ms/img) sits at ~3038 MB/s."""
+    from structuredetector_tpu.serve import resolve_auto_max_batch
+
+    assert resolve_auto_max_batch(52.0) == 32       # tunneled link
+    assert resolve_auto_max_batch(1400.0) == 32     # un-degraded tunnel
+    assert resolve_auto_max_batch(3100.0) == 128    # real TPU VM PCIe
+    assert resolve_auto_max_batch(10_000.0) == 128
+    # exactly at break-even: transfer == compute, take the big batch
+    breakeven = 0.79 / (0.26 / 1e3)
+    assert resolve_auto_max_batch(breakeven) == 128
+    assert resolve_auto_max_batch(breakeven - 1) == 32
+    # scales with the per-image cost model
+    assert resolve_auto_max_batch(1000.0, img_mb=0.1,
+                                  device_ms_per_img=0.26) == 128
+
+
+def test_probe_h2d_mbps_returns_finite_positive():
+    """Probe must work on any backend (serve runs it at startup when
+    --max_batch auto, the default)."""
+    from structuredetector_tpu.serve import probe_h2d_mbps
+
+    mbps = probe_h2d_mbps(size_mb=1.0)
+    assert np.isfinite(mbps) and mbps > 0
+
+
 @pytest.mark.slow  # compiles the full model
 def test_http_server_end_to_end():
     from structuredetector_tpu.config import Config
