@@ -79,10 +79,13 @@ def test_fused_topk_rejects_oversized_k():
 @pytest.mark.skipif(
     jax.default_backend() != "tpu", reason="needs a real TPU (Mosaic) backend"
 )
-def test_fused_topk_bit_exact_on_hardware(rng):
+@pytest.mark.parametrize("variant", ["rounds", "onehot"])
+def test_fused_topk_bit_exact_on_hardware(rng, variant):
     """Hardware pin: Mosaic compilation must match the XLA decode front
     bit for bit at the flagship serving shapes (anchors C=2 k=20,
-    parts C=1 k=40 at 128x128) and at a P=16-blocked plane count."""
+    parts C=1 k=40 at 128x128) and at a P=16-blocked plane count —
+    for BOTH kernel variants (the shootout in
+    tools/bench_topk_variants.py picks the faster one)."""
     for shape, k in (((128, 128, 128, 2), 20), ((128, 128, 128, 1), 40),
                      ((8, 64, 64, 2), 7),
                      # plane count 100 (e.g. detect --eval_batch_size 50
@@ -91,6 +94,6 @@ def test_fused_topk_bit_exact_on_hardware(rng):
                      ((50, 128, 128, 2), 20)):
         x = rng.normal(0, 3, size=shape).astype(np.float32)
         want_v, want_i = _reference(x, k)
-        got_v, got_i = fused_sigmoid_nms_topk(_planes(x), k)
+        got_v, got_i = fused_sigmoid_nms_topk(_planes(x), k, variant=variant)
         np.testing.assert_array_equal(np.asarray(got_v), want_v)
         np.testing.assert_array_equal(np.asarray(got_i), want_i)
