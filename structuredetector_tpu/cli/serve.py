@@ -39,10 +39,16 @@ def main(argv=None):
     p.add_argument("--pipeline", action="store_true",
                    help="Depth-2 serving pipeline: host prep/transfer of "
                         "batch N+1 overlaps device work of batch N. Wins "
-                        "when host and device phases overlap for real "
-                        "(TPU VM); on a serialized/tunneled transfer "
-                        "layer the synchronous default measures faster "
+                        "only when transfers genuinely parallelize with "
+                        "device work (TPU VM); serve probes the link at "
+                        "startup and falls back to the synchronous loop "
+                        "in the serialized/degraded-transfer regime, "
+                        "where the pipeline measured 2.4x worse "
                         "(DESIGN.md 'Serving throughput').")
+    p.add_argument("--pipeline_force", action="store_true",
+                   help="Skip the probe gate and run the depth-2 "
+                        "pipeline unconditionally (for A/B measurement; "
+                        "implies --pipeline).")
     p.add_argument("--no_warmup", action="store_true",
                    help="Skip pre-compiling the power-of-two batch shapes "
                         "at startup (first request per shape then pays "
@@ -71,6 +77,7 @@ def main(argv=None):
         )
         predictor = Predictor(config)
 
+    mbps = None
     if args.max_batch == "auto":
         from ..serve import probe_h2d_mbps, resolve_auto_max_batch
 
@@ -80,6 +87,21 @@ def main(argv=None):
               f"-> {args.max_batch}")
     else:
         args.max_batch = int(args.max_batch)
+
+    if args.pipeline_force:
+        args.pipeline = True
+    elif args.pipeline:
+        from ..serve import probe_h2d_mbps, resolve_pipeline
+
+        if mbps is None:
+            mbps = probe_h2d_mbps()
+        if not resolve_pipeline(mbps):
+            print(f"pipeline: declined — H2D ~{mbps:.0f} MB/s is in the "
+                  "serialized/degraded-transfer regime where the depth-2 "
+                  "pipeline measures worse than the synchronous loop "
+                  "(DESIGN.md 'Serving throughput'); running sync. "
+                  "--pipeline_force overrides.")
+            args.pipeline = False
 
     if not args.no_warmup:
         # compile every batch shape the micro-batcher can produce now,

@@ -78,6 +78,21 @@ def resolve_auto_max_batch(h2d_mbps: float,
     return 128 if h2d_mbps >= need_mbps else 32
 
 
+def resolve_pipeline(h2d_mbps: float) -> bool:
+    """Whether the depth-2 pipeline pays on this link.
+
+    Same break-even as `resolve_auto_max_batch`: the pipeline's whole
+    point is overlapping batch N+1's transfer with batch N's device
+    work, which requires the link to move an image faster than the
+    device computes it. In the serialized/degraded-transfer regime it
+    measured 2.4x WORSE than the sync loop even with the full-batch
+    guard (26.9 -> 11.0 img/s at 64-client saturation,
+    _runs/load_test_r5_sync.json vs _runs/load_test_r5_pipeline.json),
+    so `serve --pipeline` declines and runs sync there
+    (--pipeline_force overrides for A/B measurement)."""
+    return resolve_auto_max_batch(h2d_mbps) == 128
+
+
 def _pad_pow2(n: int, cap: int) -> int:
     p = 1
     while p < n:

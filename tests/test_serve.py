@@ -538,6 +538,20 @@ def test_resolve_auto_max_batch_thresholds():
                                   device_ms_per_img=0.26) == 128
 
 
+def test_resolve_pipeline_same_breakeven_as_max_batch():
+    """The depth-2 pipeline engages exactly in the fast-link regime
+    where --max_batch auto picks 128 (transfers overlap with compute);
+    in the degraded/serialized regime it measured 2.4x worse than sync
+    and must decline."""
+    from structuredetector_tpu.serve import (resolve_auto_max_batch,
+                                             resolve_pipeline)
+
+    for mbps in (27.0, 52.0, 1400.0, 3100.0, 10_000.0):
+        assert resolve_pipeline(mbps) == (resolve_auto_max_batch(mbps) == 128)
+    assert not resolve_pipeline(52.0)
+    assert resolve_pipeline(5000.0)
+
+
 def test_probe_h2d_mbps_returns_finite_positive():
     """Probe must work on any backend (serve runs it at startup when
     --max_batch auto, the default)."""
