@@ -113,15 +113,25 @@ def _sigmoid_nms_topk_kernel(k: int, x_ref, vals_ref, inds_ref, halo):
     inds_ref[...] = inds
 
 
-def _sigmoid_nms_topk_onehot_kernel(k: int, x_ref, vals_ref, inds_ref, halo):
-    """One-hot MXU-gather variant (the follow-up quantified in the
-    module docstring): the k selection rounds carry only a (P, H)
-    per-row-max table. Each round reduces that small table to find the
-    winning (plane, row), gathers JUST that row from the read-only
-    suppressed block with a one-hot dot (MXU work, overlapping the
-    VPU), and repairs the one affected row-max. Per-round VPU cost
-    drops from O(P*H*W) (full-plane max + argmax + mask sweeps) to
-    O(P*(H + W*k_cmp)), with the O(H*W) row gather moved to the MXU.
+def _sigmoid_nms_topk_onehot_kernel(k: int, x_ref, vals_ref, inds_ref, halo,
+                                    sup_ref):
+    """Row-gather variant (the follow-up quantified in the module
+    docstring): the k selection rounds carry only a (P, H) per-row-max
+    table. Each round reduces that small table to find the winning
+    (plane, row), gathers JUST that row from the read-only suppressed
+    block with one masked-max sweep, and repairs the one affected
+    row-max. Per-round block-sized work drops from three full sweeps
+    (max + argmax + remask over (P,H,W)) to one, with the remaining
+    selection arithmetic on (P,W)/(P,H) tables.
+
+    The suppressed block lives in the `sup_ref` VMEM scratch, NOT a
+    loop carry: a (P, H, W) fori_loop carry — even returned unmodified
+    — made Mosaic stack-allocate ~2k copies (44 MB against the 16 MB
+    scoped-VMEM limit at the shipped block shape); a mutable scratch
+    ref is one buffer. (An MXU one-hot dot was also tried for the row
+    gather: a batched (P,H)x(P,H,W) dot_general fails Mosaic's
+    TPU_DotDimensionNumbersAttr parsing, and the (P, P*H)@(P*H, W)
+    block-diagonal rewrite overflows scoped VMEM the same way.)
 
     Tie-break identical to the full-sweep kernel/_topk_iterative:
     smallest flat index among maxima — smallest winning row first
@@ -130,7 +140,6 @@ def _sigmoid_nms_topk_onehot_kernel(k: int, x_ref, vals_ref, inds_ref, halo):
     """
     p, h, w = x_ref.shape
 
-    sups = []
     for j in range(p):
         sig = jnp.clip(jax.nn.sigmoid(x_ref[j]), CLAMP_EPS, 1.0 - CLAMP_EPS)
         halo[:, :] = jnp.full((h + 2 * _PAD, w + 2 * _PAD), _MASKED, halo.dtype)
@@ -141,13 +150,13 @@ def _sigmoid_nms_topk_onehot_kernel(k: int, x_ref, vals_ref, inds_ref, halo):
                 if dy == 0 and dx == 0:
                     continue
                 m = jnp.maximum(m, halo[dy : dy + h, dx : dx + w])
-        sups.append(jnp.where(sig == m, sig, jnp.zeros_like(sig)))
-    sup = jnp.stack(sups)  # (P, H, W), read-only after this point
+        sup_ref[j] = jnp.where(sig == m, sig, jnp.zeros_like(sig))
 
     rows_ph = lax.broadcasted_iota(jnp.int32, (p, h), 1)
     cols_pw = lax.broadcasted_iota(jnp.int32, (p, w), 1)
     lane = lax.broadcasted_iota(jnp.int32, (p, k), 1)
-    rowmax0 = jnp.max(sup, axis=2)  # (P, H)
+    rows_phw = lax.broadcasted_iota(jnp.int32, (p, h, w), 1)
+    rowmax0 = jnp.max(sup_ref[...], axis=2)  # (P, H)
 
     def body(i, carry):
         rowmax, vals, inds = carry
@@ -155,14 +164,13 @@ def _sigmoid_nms_topk_onehot_kernel(k: int, x_ref, vals_ref, inds_ref, halo):
         cand_r = jnp.where(rowmax == gmax, rows_ph, _BIG)
         r = jnp.min(cand_r, axis=1, keepdims=True)  # (P, 1) winning row
 
-        # one-hot gather of the winning row per plane: (P,H)x(P,H,W)
-        # batched mat-vec on the MXU. One-hot times value is exact in
-        # any f32 decomposition, so HIGHEST keeps it bit-identical.
-        onehot = (rows_ph == r).astype(jnp.float32)
-        row = lax.dot_general(
-            onehot, sup,
-            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-            precision=lax.Precision.HIGHEST,
+        # Gather the winning row per plane with a masked max over the
+        # scratch-resident block: exactly one row per plane survives
+        # the mask, so the reduction returns its values bit-identically.
+        row = jnp.max(
+            jnp.where(rows_phw == r[:, :, None], sup_ref[...],
+                      jnp.float32(_MASKED)),
+            axis=1,
         )  # (P, W)
 
         # re-mask elements already selected from this row in earlier
@@ -188,7 +196,8 @@ def _sigmoid_nms_topk_onehot_kernel(k: int, x_ref, vals_ref, inds_ref, halo):
 
     _, vals, inds = lax.fori_loop(
         0, k, body,
-        (rowmax0, jnp.zeros((p, k), jnp.float32), jnp.zeros((p, k), jnp.int32)),
+        (rowmax0,
+         jnp.zeros((p, k), jnp.float32), jnp.zeros((p, k), jnp.int32)),
     )
     vals_ref[...] = vals
     inds_ref[...] = inds
@@ -252,6 +261,11 @@ def fused_sigmoid_nms_topk(
     planes = planes.astype(jnp.float32)
     kernel = (_sigmoid_nms_topk_onehot_kernel if variant == "onehot"
               else _sigmoid_nms_topk_kernel)
+    scratch = [pltpu.VMEM((h + 2 * _PAD, w + 2 * _PAD), jnp.float32)]
+    if variant == "onehot":
+        # the suppressed block lives in scratch, not a loop carry (see
+        # the kernel docstring: a big carry stack-OOMs Mosaic)
+        scratch.append(pltpu.VMEM((p, h, w), jnp.float32))
     vals, inds = pl.pallas_call(
         functools.partial(kernel, k),
         out_shape=(
@@ -266,9 +280,7 @@ def fused_sigmoid_nms_topk(
             pl.BlockSpec((p, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((p, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((h + 2 * _PAD, w + 2 * _PAD), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(planes)
     if n_pad:
