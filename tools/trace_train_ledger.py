@@ -95,8 +95,11 @@ CATS = (
     ("adam_update", lambda op: "adam_update" in op),
     ("conv_bwd", lambda op: "transpose(" in op and "conv" in op),
     ("bwd_other", lambda op: "transpose(" in op),
-    ("conv_fwd", lambda op: "/forward/" in op and "conv" in op),
-    ("fwd_other", lambda op: "/forward/" in op),
+    # the scope reads "jvp(forward)" (no slash before "forward"), so
+    # match the scope name itself, not a path segment
+    ("conv_fwd", lambda op: "forward" in op and "conv" in op),
+    ("bn_fwd", lambda op: "forward" in op and ("/bn" in op or "norm" in op)),
+    ("fwd_other", lambda op: "forward" in op),
 )
 
 
