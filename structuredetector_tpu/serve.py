@@ -55,7 +55,7 @@ def probe_h2d_mbps(size_mb: float = 16.0) -> float:
 
     dev = jax.devices()[0]
     np.asarray(jax.device_put(np.zeros((8,), np.float32), dev))  # D2H once
-    buf = np.zeros((int(size_mb) * 2**20,), np.uint8)
+    buf = np.zeros((int(size_mb * 2**20),), np.uint8)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -73,7 +73,14 @@ def resolve_auto_max_batch(h2d_mbps: float,
     computing it (~0.79 MB uint8 at 512x512 vs ~0.26 ms/img at the
     measured 3900 img/s int8 ceiling -> needs >= ~3 GB/s); below that
     the link is the bottleneck and the round-4 percentile sweep showed
-    32 maximizes served img/s (44.8 vs 33.5 at 128, DESIGN.md)."""
+    32 maximizes served img/s (44.8 vs 33.5 at 128, DESIGN.md).
+
+    The defaults are the measured 512x512 anchors, but the BREAK-EVEN
+    they imply is resolution-independent to first order: transfer
+    bytes and device time both scale ~linearly with pixel count, so
+    their ratio (the required MB/s) is unchanged for other input
+    sizes. Override both parameters together if a deployment's
+    measured per-image cost deviates from the linear model."""
     need_mbps = img_mb / (device_ms_per_img / 1e3)
     return 128 if h2d_mbps >= need_mbps else 32
 

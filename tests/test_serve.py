@@ -542,14 +542,15 @@ def test_resolve_pipeline_same_breakeven_as_max_batch():
     """The depth-2 pipeline engages exactly in the fast-link regime
     where --max_batch auto picks 128 (transfers overlap with compute);
     in the degraded/serialized regime it measured 2.4x worse than sync
-    and must decline."""
-    from structuredetector_tpu.serve import (resolve_auto_max_batch,
-                                             resolve_pipeline)
+    and must decline. Expected values are written out explicitly
+    (asserting equality with resolve_auto_max_batch would restate the
+    implementation and could never fail)."""
+    from structuredetector_tpu.serve import resolve_pipeline
 
-    for mbps in (27.0, 52.0, 1400.0, 3100.0, 10_000.0):
-        assert resolve_pipeline(mbps) == (resolve_auto_max_batch(mbps) == 128)
-    assert not resolve_pipeline(52.0)
-    assert resolve_pipeline(5000.0)
+    for mbps in (13.4, 27.0, 52.0, 1400.0, 3000.0):  # measured tunnel states
+        assert not resolve_pipeline(mbps)
+    for mbps in (3100.0, 5000.0, 10_000.0):  # real TPU-VM-class links
+        assert resolve_pipeline(mbps)
 
 
 def test_probe_h2d_mbps_returns_finite_positive():

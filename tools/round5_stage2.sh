@@ -22,6 +22,10 @@ FLAGSHIP_DIR=${1:?usage: round5_stage2.sh <flagship trainings dir> <pid>}
 WAIT_PID=${2:?usage: round5_stage2.sh <flagship trainings dir> <pid>}
 DATA=${DATA:-_runs/synth512v6}
 mkdir -p _runs/eval
+# Pin the EMA arm's dir NOW (it is the newest trainings/ entry while its
+# training is still in flight) — discovering it after the measurement
+# stages would race with any arm launched in the meantime.
+EMA_DIR="$(ls -d trainings/*/ | sort | tail -1)"
 
 echo "[r5s2] waiting for training supervisor pid $WAIT_PID at $(date)"
 while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 20; done
@@ -53,11 +57,10 @@ timeout 3600 python tools/load_test.py \
   --labels labels.json --anchor_name stem --sweep 32 \
   --clients 64 --duration 25 \
   --out _runs/load_test_r5_pipeline.json \
-  -- --pipeline \
+  -- --pipeline_force \
   > _runs/load_test_r5_pipeline.log 2>&1
 echo "[r5s2] pipeline load test exit=$?"
 
-EMA_DIR="$(ls -d trainings/*/ | sort | tail -1)"
 if [ -f "$EMA_DIR/model_best_csi.msgpack" ]; then
   echo "[r5s2] EMA arm gate (checkpoint dir $EMA_DIR) at $(date)"
   timeout 5400 python tools/accuracy_gate.py \
