@@ -45,8 +45,9 @@ ITERS = 10
 PEAK_FLOPS = float(__import__("os").environ.get("TPU_PEAK_FLOPS", 197e12))
 
 
-def build_step(batch: int):
-    cfg = Config(width=512, height=512, use_amp=True, batch_size=batch)
+def build_step(batch: int, s2d: bool = False):
+    cfg = Config(width=512, height=512, use_amp=True, batch_size=batch,
+                 s2d_stem=s2d)
     cfg.set_labels(["bean", "maize"], ["leaf"])
     cfg.validate()
     model, variables = init_model(cfg)
@@ -117,7 +118,7 @@ def main():
     if "--out" in sys.argv:
         out_path = sys.argv[sys.argv.index("--out") + 1]
 
-    step, state, images, kp = build_step(batch)
+    step, state, images, kp = build_step(batch, s2d="--s2d" in sys.argv)
     name_idx, hlo_text = op_name_index(step, state, images, kp)
 
     # model-FLOP estimate from XLA's own cost analysis of the step
