@@ -77,7 +77,7 @@ def run_evaluate(ckpt, args, out_json):
         "--decoder_dist_thresh", str(args.decoder_dist_thresh),
         "--eval_batch_size", str(args.batch_size),
         "--save_summary", str(out_json),
-    ])
+    ] + args.model_argv)
     return json.loads(Path(out_json).read_text())
 
 
@@ -96,7 +96,10 @@ def run_export_mode(ckpt, args, workdir, mode, out_json):
     elif mode == "int8_static":
         argv += ["--int8", "--calibrate_dir", str(args.train_dir),
                  "--calibrate_images", str(args.calibrate_images)]
-    convert_export.main(argv)
+    # model-shape flags (e.g. --head_conv 64) so the rebuilt model
+    # matches the checkpoint; evaluate_export needs none (the .sdz
+    # carries its graph + metadata)
+    convert_export.main(argv + args.model_argv)
 
     evaluate_export.main([
         str(sdz), "--valid_dir", str(args.valid_dir),
@@ -131,6 +134,11 @@ def main(argv=None):
     p.add_argument("--calibrate_images", type=int, default=32)
     p.add_argument("--out", type=Path, default=None,
                    help="Also write the table + raw summaries as JSON.")
+    p.add_argument("--model_args", type=str, default="",
+                   help="Extra model-shape flags forwarded to evaluate "
+                        "and convert_export as one quoted string, e.g. "
+                        "--model_args '--head_conv 64' for checkpoints "
+                        "trained with a deep head.")
     p.add_argument("--min_kps", type=float, default=DEFAULT_FLOORS["kps/f1_total"])
     p.add_argument("--min_csi", type=float, default=DEFAULT_FLOORS["csi/f1_total"])
     p.add_argument("--min_classif", type=float,
@@ -138,6 +146,9 @@ def main(argv=None):
     p.add_argument("--min_grouping", type=float,
                    default=DEFAULT_FLOORS["grouping/accuracy"])
     args = p.parse_args(argv)
+    import shlex
+
+    args.model_argv = shlex.split(args.model_args)
 
     results = {}
     with tempfile.TemporaryDirectory() as td:
